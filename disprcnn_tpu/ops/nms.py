@@ -1,0 +1,134 @@
+"""Greedy NMS family as fixed-shape XLA programs.
+
+TPU-native reformulation of the reference CUDA bitmask kernels:
+- 2D NMS (reference csrc/cuda/nms.cu:13-131): score-descending greedy
+  suppression with the legacy +1 IoU convention, suppress when IoU > thresh.
+- Double-view NMS (reference structures/boxlist_ops.py:49-79): IoU computed on
+  the union of the left/right box pair, one keep decision applied to both views.
+- Rotated BEV NMS (reference iou3d/src/iou3d.cpp:80-180): same greedy scheme
+  with rotated-rectangle IoU.
+
+All variants take padded (N, ...) arrays plus a validity mask, and return a
+fixed-size keep mask (original index order). Suppression runs as a
+`lax.fori_loop` over a precomputed IoU matrix in score order — O(N^2) memory,
+sequential O(N) decisions, exactly the reference's greedy semantics including
+tie-breaking by original index for equal scores (stable argsort).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .iou import pairwise_bev_iou, pairwise_iou
+
+_NEG = -1e10
+
+
+def _greedy_keep(iou: jnp.ndarray, valid_sorted: jnp.ndarray, thresh: float) -> jnp.ndarray:
+    """Sequential greedy suppression over a score-ordered IoU matrix.
+
+    iou: (N, N) IoU in score-descending order. Returns keep mask (N,) in that
+    same order. A box is kept iff it is valid and no earlier kept box overlaps
+    it by more than `thresh`.
+    """
+    n = iou.shape[0]
+    suppress = iou > thresh  # strict >, matching nms.cu devIoU usage
+
+    def body(i, keep):
+        earlier = jnp.arange(n) < i
+        killed = jnp.any(keep & earlier & suppress[:, i])
+        return keep.at[i].set(valid_sorted[i] & ~killed)
+
+    keep0 = jnp.zeros((n,), dtype=bool)
+    return jax.lax.fori_loop(0, n, body, keep0)
+
+
+def nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    to_remove: float = 1.0,
+) -> jnp.ndarray:
+    """Greedy 2D NMS. boxes (N,4) xyxy, scores (N,), valid (N,) bool.
+
+    Returns a keep mask (N,) in the ORIGINAL index order.
+    """
+    order = jnp.argsort(jnp.where(valid, scores, _NEG), descending=True, stable=True)
+    b = boxes[order]
+    iou = pairwise_iou(b, b, to_remove=to_remove)
+    keep_sorted = _greedy_keep(iou, valid[order], iou_thresh)
+    keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+    return keep
+
+
+def double_view_nms_mask(
+    boxes_left: jnp.ndarray,
+    boxes_right: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    to_remove: float = 1.0,
+) -> jnp.ndarray:
+    """NMS on the union of each left/right box pair; keep applies to both views.
+
+    Union box = elementwise min of mins / max of maxs
+    (reference boxlist_ops.double_view_boxlist_nms:49-79 via expand_left_right_box).
+    """
+    union = jnp.concatenate(
+        [
+            jnp.minimum(boxes_left[:, :2], boxes_right[:, :2]),
+            jnp.maximum(boxes_left[:, 2:], boxes_right[:, 2:]),
+        ],
+        axis=-1,
+    )
+    return nms_mask(union, scores, valid, iou_thresh, to_remove=to_remove)
+
+
+def bev_nms_mask(
+    bev_boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    rotated: bool = True,
+) -> jnp.ndarray:
+    """Greedy NMS over BEV boxes (N,5)=(x1,y1,x2,y2,ry).
+
+    rotated=True uses rotated-rect IoU (reference iou3d nms_gpu); False ignores
+    ry and uses axis-aligned IoU WITHOUT the +1 convention (nms_normal_gpu).
+    """
+    order = jnp.argsort(jnp.where(valid, scores, _NEG), descending=True, stable=True)
+    b = bev_boxes[order]
+    if rotated:
+        iou = pairwise_bev_iou(b, b)
+    else:
+        iou = pairwise_iou(b[:, :4], b[:, :4], to_remove=0.0)
+    keep_sorted = _greedy_keep(iou, valid[order], iou_thresh)
+    return jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+
+
+def topk_after_nms(
+    keep: jnp.ndarray, scores: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Select up to k kept boxes by score. Returns (indices (k,), valid (k,))."""
+    masked = jnp.where(keep, scores, _NEG)
+    top_scores, idx = jax.lax.top_k(masked, k)
+    return idx, top_scores > _NEG / 2
+
+
+def batched_class_nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    to_remove: float = 1.0,
+) -> jnp.ndarray:
+    """Per-class NMS in one shot: offset boxes by label so classes never overlap.
+
+    Equivalent to looping classes as the reference box-head postprocessor does
+    (roi_heads/box_head/inference.py per-class NMS), but fixed-shape.
+    """
+    span = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + to_remove + 1.0
+    offset = labels.astype(boxes.dtype)[:, None] * span
+    return nms_mask(boxes + offset, scores, valid, iou_thresh, to_remove=to_remove)

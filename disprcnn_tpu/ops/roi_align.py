@@ -1,0 +1,143 @@
+"""ROIAlign / ROIPool as pure-XLA gather programs (autodiff backward for free).
+
+Matches the reference's legacy (non-half-pixel-aligned) CUDA semantics
+(csrc/cuda/ROIAlign_cuda.cu:15-120):
+- roi coords scaled by spatial_scale with NO -0.5 offset,
+- malformed ROIs forced to 1x1,
+- per-bin sampling grid of `sampling_ratio`^2 points at (i + .5)/S spacing,
+- bilinear interpolation with the kernel's boundary rules: points outside
+  [-1, size] contribute 0; otherwise coords clamp into [0, size-1].
+
+TPU deviation: the reference's `sampling_ratio == 0` means an adaptive,
+data-dependent grid (`ceil(roi_size / pooled_size)`), which is not expressible
+with static shapes; we use a static grid of 2 in that case (the value the
+shipped configs use where they set it explicitly, e.g.
+configs/kitti/car/vob/mask.yaml:29).
+
+Bilinear sampling is separable (rows then columns), so each ROI costs two
+gathers instead of a 2-D gather per sample point — the XLA-friendly layout.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _interp_axis(coords: jnp.ndarray, size: int):
+    """1-D bilinear indices/weights with legacy ROIAlign boundary rules."""
+    inside = (coords >= -1.0) & (coords <= size)
+    c = jnp.clip(coords, 0.0, size - 1)
+    i0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, max(size - 2, 0))
+    frac = c - i0.astype(c.dtype)
+    w0 = jnp.where(inside, 1.0 - frac, 0.0)
+    w1 = jnp.where(inside, frac, 0.0)
+    return i0, jnp.minimum(i0 + 1, size - 1), w0, w1
+
+
+def _sample_grid_1d(start: jnp.ndarray, bin_size: jnp.ndarray, pooled: int, s: int):
+    """Sampling coordinates for all pooled*s points along one axis."""
+    ph = jnp.arange(pooled * s) // s
+    i = jnp.arange(pooled * s) % s
+    return start + ph * bin_size + (i + 0.5) * bin_size / s
+
+
+def _roi_align_single(
+    feat: jnp.ndarray,  # (H, W, C)
+    box: jnp.ndarray,  # (4,) xyxy in image coords
+    pooled: int,
+    spatial_scale: float,
+    s: int,
+) -> jnp.ndarray:
+    h, w = feat.shape[0], feat.shape[1]
+    x1, y1, x2, y2 = box[0] * spatial_scale, box[1] * spatial_scale, box[2] * spatial_scale, box[3] * spatial_scale
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / pooled
+    bin_h = roi_h / pooled
+
+    ys = _sample_grid_1d(y1, bin_h, pooled, s)  # (pooled*s,)
+    xs = _sample_grid_1d(x1, bin_w, pooled, s)
+
+    y0, y1i, wy0, wy1 = _interp_axis(ys, h)
+    x0, x1i, wx0, wx1 = _interp_axis(xs, w)
+
+    # rows: (pooled*s, W, C)
+    rows = feat[y0] * wy0[:, None, None] + feat[y1i] * wy1[:, None, None]
+    # cols: (pooled*s, pooled*s, C)
+    vals = (
+        rows[:, x0] * wx0[None, :, None] + rows[:, x1i] * wx1[None, :, None]
+    )
+    # average the s x s samples inside each bin
+    vals = vals.reshape(pooled, s, pooled, s, -1)
+    return vals.mean(axis=(1, 3))
+
+
+@partial(jax.jit, static_argnames=("pooled", "spatial_scale", "sampling_ratio"))
+def roi_align(
+    features: jnp.ndarray,  # (H, W, C)
+    boxes: jnp.ndarray,  # (N, 4) xyxy image coords
+    pooled: int,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """ROIAlign of N boxes on one feature map -> (N, pooled, pooled, C)."""
+    s = sampling_ratio if sampling_ratio > 0 else 2
+    return jax.vmap(lambda b: _roi_align_single(features, b, pooled, spatial_scale, s))(
+        boxes
+    )
+
+
+@partial(jax.jit, static_argnames=("pooled", "spatial_scale", "sampling_ratio"))
+def roi_align_batched(
+    features: jnp.ndarray,  # (B, H, W, C)
+    boxes: jnp.ndarray,  # (N, 4)
+    batch_idx: jnp.ndarray,  # (N,) int32
+    pooled: int,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """ROIAlign with per-ROI batch indices -> (N, pooled, pooled, C)."""
+    s = sampling_ratio if sampling_ratio > 0 else 2
+
+    def one(b, bi):
+        return _roi_align_single(features[bi], b, pooled, spatial_scale, s)
+
+    return jax.vmap(one)(boxes, batch_idx)
+
+
+def _roi_pool_single(feat, box, pooled, spatial_scale):
+    """Legacy max ROIPool (csrc/cuda/ROIPool_cuda.cu): integer bin edges, max."""
+    h, w = feat.shape[0], feat.shape[1]
+    x1 = jnp.round(box[0] * spatial_scale)
+    y1 = jnp.round(box[1] * spatial_scale)
+    x2 = jnp.round(box[2] * spatial_scale)
+    y2 = jnp.round(box[3] * spatial_scale)
+    roi_w = jnp.maximum(x2 - x1 + 1, 1.0)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1.0)
+    bin_h, bin_w = roi_h / pooled, roi_w / pooled
+
+    hs = jnp.arange(h, dtype=jnp.float32)
+    ws = jnp.arange(w, dtype=jnp.float32)
+    # membership of each feature row/col in each pooled bin
+    ph = jnp.arange(pooled, dtype=jnp.float32)
+    hstart = jnp.clip(jnp.floor(ph * bin_h) + y1, 0, h)
+    hend = jnp.clip(jnp.ceil((ph + 1) * bin_h) + y1, 0, h)
+    wstart = jnp.clip(jnp.floor(ph * bin_w) + x1, 0, w)
+    wend = jnp.clip(jnp.ceil((ph + 1) * bin_w) + x1, 0, w)
+    row_in = (hs[None, :] >= hstart[:, None]) & (hs[None, :] < hend[:, None])  # (P, H)
+    col_in = (ws[None, :] >= wstart[:, None]) & (ws[None, :] < wend[:, None])  # (P, W)
+    neg = jnp.finfo(feat.dtype).min
+    rows = jnp.max(
+        jnp.where(row_in[:, :, None, None], feat[None], neg), axis=1
+    )  # (P, W, C)
+    out = jnp.max(jnp.where(col_in[None, :, :, None], rows[:, None], neg), axis=2)
+    empty = (row_in.sum(1)[:, None] == 0) | (col_in.sum(1)[None, :] == 0)
+    return jnp.where(empty[:, :, None], 0.0, out)
+
+
+@partial(jax.jit, static_argnames=("pooled", "spatial_scale"))
+def roi_pool(features, boxes, pooled, spatial_scale=1.0):
+    """Max ROIPool of N boxes -> (N, pooled, pooled, C)."""
+    return jax.vmap(lambda b: _roi_pool_single(features, b, pooled, spatial_scale))(boxes)

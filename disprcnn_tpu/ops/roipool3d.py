@@ -1,0 +1,81 @@
+"""3D ROI pooling: point-in-rotated-3D-box tests + fixed-size point sampling.
+
+Fixed-shape XLA equivalent of the reference roipool3d CUDA extension
+(.../roipool3d/src/roipool3d_kernel.cu:15-100):
+- box = (cx, bottom_y, cz, h, w, l, ry), y-down camera frame, center y at
+  bottom_y - h/2, quick-reject at |dx|,|dz| > 10 m,
+- in-box test in the box's canonical frame: |x_rot| <= l/2, |z_rot| <= w/2,
+  |y - cy| <= h/2,
+- per box: the FIRST `sampled_pts_num` in-box points in scan order, tail slots
+  cycling through the found points (k % cnt), plus an empty flag.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def pts_in_boxes3d(pts: jnp.ndarray, boxes3d: jnp.ndarray, max_dis: float = 10.0) -> jnp.ndarray:
+    """(N, 3) points x (M, 7) boxes -> bool (M, N)."""
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    cx, by, cz = boxes3d[:, 0:1], boxes3d[:, 1:2], boxes3d[:, 2:3]
+    h, w, l, ry = boxes3d[:, 3:4], boxes3d[:, 4:5], boxes3d[:, 5:6], boxes3d[:, 6:7]
+    cy = by - h / 2.0
+    dx = x[None, :] - cx
+    dy = y[None, :] - cy
+    dz = z[None, :] - cz
+    near = (jnp.abs(dx) <= max_dis) & (jnp.abs(dy) <= h / 2.0) & (jnp.abs(dz) <= max_dis)
+    cosa, sina = jnp.cos(ry), jnp.sin(ry)
+    x_rot = dx * cosa - dz * sina
+    z_rot = dx * sina + dz * cosa
+    inside = (
+        (x_rot >= -l / 2.0)
+        & (x_rot <= l / 2.0)
+        & (z_rot >= -w / 2.0)
+        & (z_rot <= w / 2.0)
+    )
+    return near & inside
+
+
+def _first_k_cycled(mask_row: jnp.ndarray, k: int):
+    """Indices of the first k True entries in scan order, tail cycling (i % cnt).
+
+    Returns (idx (k,), cnt scalar). All-False rows give zeros.
+    """
+    n = mask_row.shape[0]
+    order_key = jnp.where(mask_row, jnp.arange(n), n)
+    cand = jnp.sort(order_key)[:k]
+    cnt = jnp.minimum(jnp.sum(mask_row), k)
+    slot = jnp.arange(k)
+    sel = jnp.where(slot < cnt, slot, slot % jnp.maximum(cnt, 1))
+    out = cand[sel]
+    return jnp.where(cnt > 0, out, 0).astype(jnp.int32), cnt
+
+
+@partial(jax.jit, static_argnames=("sampled_pts_num",))
+def roipool3d(
+    pts: jnp.ndarray,  # (B, N, 3)
+    feats: jnp.ndarray,  # (B, N, C)
+    boxes3d: jnp.ndarray,  # (B, M, 7)
+    sampled_pts_num: int = 512,
+):
+    """-> pooled (B, M, S, 3 + C), empty_flag (B, M) bool."""
+
+    def per_batch(p, f, b):
+        mask = pts_in_boxes3d(p, b)  # (M, N)
+        idx, cnt = jax.vmap(lambda row: _first_k_cycled(row, sampled_pts_num))(mask)
+        full = jnp.concatenate([p, f], axis=-1)  # (N, 3+C)
+        pooled = full[idx]  # (M, S, 3+C)
+        empty = cnt == 0
+        pooled = jnp.where(empty[:, None, None], 0.0, pooled)
+        return pooled, empty
+
+    return jax.vmap(per_batch)(pts, feats, boxes3d)
+
+
+def enlarge_box3d(boxes3d: jnp.ndarray, extra_width: float) -> jnp.ndarray:
+    """Grow h/w/l by 2*extra_width, shift bottom y down by extra_width
+    (reference kitti_utils.enlarge_box3d:129-136)."""
+    return boxes3d.at[..., 3:6].add(extra_width * 2).at[..., 1].add(extra_width)

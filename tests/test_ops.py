@@ -1,0 +1,213 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import oracles
+from disprcnn_tpu import ops
+
+
+def rand_boxes(rng, n, size=100.0):
+    xy = rng.uniform(0, size, (n, 2))
+    wh = rng.uniform(2, size / 2, (n, 2))
+    return np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+
+
+def test_pairwise_iou_matches_oracle(rng):
+    a, b = rand_boxes(rng, 13), rand_boxes(rng, 7)
+    got = np.asarray(ops.pairwise_iou(jnp.asarray(a), jnp.asarray(b)))
+    want = oracles.iou_matrix(a, b)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("thresh", [0.3, 0.5, 0.7])
+def test_nms_matches_oracle(rng, thresh):
+    boxes = rand_boxes(rng, 40)
+    scores = rng.uniform(0, 1, 40).astype(np.float32)
+    valid = np.ones(40, bool)
+    keep = np.asarray(
+        ops.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), thresh)
+    )
+    want = oracles.greedy_nms(boxes, scores, thresh)
+    assert sorted(np.nonzero(keep)[0].tolist()) == want
+
+
+def test_nms_respects_validity(rng):
+    boxes = rand_boxes(rng, 10)
+    scores = rng.uniform(0, 1, 10).astype(np.float32)
+    valid = np.zeros(10, bool)
+    valid[:4] = True
+    keep = np.asarray(
+        ops.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5)
+    )
+    assert not keep[4:].any()
+    want = oracles.greedy_nms(boxes[:4], scores[:4], 0.5)
+    assert sorted(np.nonzero(keep[:4])[0].tolist()) == want
+
+
+def test_double_view_nms_uses_union_boxes(rng):
+    left = rand_boxes(rng, 20)
+    right = left + np.array([5.0, 0, 5.0, 0], np.float32)
+    scores = rng.uniform(0, 1, 20).astype(np.float32)
+    union = np.concatenate(
+        [np.minimum(left[:, :2], right[:, :2]), np.maximum(left[:, 2:], right[:, 2:])], 1
+    )
+    keep = np.asarray(
+        ops.double_view_nms_mask(
+            jnp.asarray(left), jnp.asarray(right), jnp.asarray(scores),
+            jnp.ones(20, bool), 0.5,
+        )
+    )
+    want = oracles.greedy_nms(union, scores, 0.5)
+    assert sorted(np.nonzero(keep)[0].tolist()) == want
+
+
+def test_rotated_overlap_matches_sutherland_hodgman(rng):
+    for _ in range(50):
+        a = np.array([*rng.uniform(0, 10, 2), 0, 0, rng.uniform(-np.pi, np.pi)])
+        a[2:4] = a[0:2] + rng.uniform(1, 8, 2)
+        b = np.array([*rng.uniform(0, 10, 2), 0, 0, rng.uniform(-np.pi, np.pi)])
+        b[2:4] = b[0:2] + rng.uniform(1, 8, 2)
+        got = float(
+            ops.rotated_rect_intersection_area(
+                jnp.asarray(a, jnp.float32)[None], jnp.asarray(b, jnp.float32)[None]
+            )[0]
+        )
+        want = oracles.bev_overlap(a, b)
+        assert abs(got - want) < 1e-3, (a, b, got, want)
+
+
+def test_rotated_overlap_identical_and_disjoint():
+    a = jnp.asarray([[0.0, 0.0, 4.0, 2.0, 0.7]])
+    self_ov = float(ops.rotated_rect_intersection_area(a, a)[0])
+    assert abs(self_ov - 8.0) < 1e-4
+    b = jnp.asarray([[100.0, 100.0, 104.0, 102.0, 0.3]])
+    assert float(ops.rotated_rect_intersection_area(a, b)[0]) == 0.0
+
+
+def test_iou3d_axis_aligned_case():
+    # two unit cubes (h=w=l=1) overlapping by half along x: IoU = 0.5/1.5
+    a = jnp.asarray([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0]])
+    b = jnp.asarray([[0.5, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0]])
+    got = float(ops.pairwise_iou3d(a, b)[0, 0])
+    assert abs(got - 0.5 / 1.5) < 1e-5
+
+
+def test_fps_matches_oracle(rng):
+    pts = rng.uniform(-5, 5, (1, 64, 3)).astype(np.float32)
+    got = np.asarray(ops.furthest_point_sample(jnp.asarray(pts), 16))[0]
+    want = oracles.fps(pts[0], 16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_matches_oracle(rng):
+    pts = rng.uniform(-2, 2, (1, 100, 3)).astype(np.float32)
+    centers = pts[:, :10]
+    got = np.asarray(ops.ball_query(jnp.asarray(centers), jnp.asarray(pts), 0.8, 8))[0]
+    want = oracles.ball_query(centers[0], pts[0], 0.8, 8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_three_nn_interpolate(rng):
+    known = rng.uniform(-1, 1, (1, 20, 3)).astype(np.float32)
+    unknown = rng.uniform(-1, 1, (1, 30, 3)).astype(np.float32)
+    feats = rng.normal(size=(1, 20, 4)).astype(np.float32)
+    d, idx = ops.three_nn(jnp.asarray(unknown), jnp.asarray(known))
+    d, idx = np.asarray(d), np.asarray(idx)
+    # brute-force check for a few points
+    for i in [0, 7, 29]:
+        full = np.linalg.norm(unknown[0, i] - known[0], axis=1)
+        want = np.sort(full)[:3]
+        np.testing.assert_allclose(np.sort(d[0, i]), want, rtol=1e-4, atol=1e-5)
+    w = ops.three_nn_interpolate_weights(jnp.asarray(d))
+    out = ops.three_interpolate(jnp.asarray(feats), jnp.asarray(idx), w)
+    assert out.shape == (1, 30, 4)
+    np.testing.assert_allclose(np.asarray(jnp.sum(w, -1)), 1.0, rtol=1e-5)
+
+
+def test_roi_align_matches_oracle(rng):
+    feat = rng.normal(size=(16, 20, 3)).astype(np.float32)
+    boxes = np.array(
+        [[2.0, 3.0, 30.0, 25.0], [0.0, 0.0, 10.0, 10.0], [15.0, 8.0, 60.0, 50.0]],
+        np.float32,
+    )
+    got = np.asarray(
+        ops.roi_align(jnp.asarray(feat), jnp.asarray(boxes), pooled=7, spatial_scale=0.5,
+                      sampling_ratio=2)
+    )
+    for i, b in enumerate(boxes):
+        want = oracles.roi_align(feat, b, 7, 0.5, 2)
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_out_of_bounds_is_zero():
+    feat = jnp.ones((8, 8, 1))
+    boxes = jnp.asarray([[100.0, 100.0, 120.0, 120.0]])
+    out = ops.roi_align(feat, boxes, pooled=4, spatial_scale=1.0, sampling_ratio=2)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_roi_align_grad_flows(rng):
+    import jax
+
+    feat = jnp.asarray(rng.normal(size=(8, 8, 2)).astype(np.float32))
+    boxes = jnp.asarray([[1.0, 1.0, 6.0, 6.0]])
+
+    def loss(f):
+        return jnp.sum(ops.roi_align(f, boxes, pooled=2, spatial_scale=1.0, sampling_ratio=2))
+
+    g = jax.grad(loss)(feat)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_pts_in_boxes3d_matches_oracle(rng):
+    pts = rng.uniform(-5, 5, (200, 3)).astype(np.float32)
+    boxes = np.array(
+        [[0.0, 1.0, 0.0, 2.0, 1.5, 3.5, 0.6], [2.0, 0.5, -1.0, 1.0, 1.0, 2.0, -0.3]],
+        np.float32,
+    )
+    got = np.asarray(ops.pts_in_boxes3d(jnp.asarray(pts), jnp.asarray(boxes)))
+    for j, b in enumerate(boxes):
+        want = oracles.pts_in_box3d(pts, b)
+        np.testing.assert_array_equal(got[j], want)
+
+
+def test_roipool3d_sampling_semantics(rng):
+    pts = rng.uniform(-3, 3, (1, 50, 3)).astype(np.float32)
+    feats = rng.normal(size=(1, 50, 2)).astype(np.float32)
+    boxes = np.array([[[0.0, 1.0, 0.0, 2.0, 3.0, 3.0, 0.0]]], np.float32)
+    pooled, empty = ops.roipool3d(
+        jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(boxes), sampled_pts_num=16
+    )
+    pooled, empty = np.asarray(pooled), np.asarray(empty)
+    inside = oracles.pts_in_box3d(pts[0], boxes[0, 0])
+    idxs = np.nonzero(inside)[0]
+    if len(idxs) == 0:
+        assert empty[0, 0]
+    else:
+        assert not empty[0, 0]
+        take = [idxs[k % len(idxs)] if k >= len(idxs) else idxs[k] for k in range(16)]
+        take = [idxs[k] if k < len(idxs) else idxs[k % len(idxs)] for k in range(16)]
+        want = np.concatenate([pts[0][take], feats[0][take]], axis=1)
+        np.testing.assert_allclose(pooled[0, 0], want, rtol=1e-6)
+
+
+def test_focal_loss_reference_formula(rng):
+    logits = rng.normal(size=(6, 3)).astype(np.float32)
+    targets = np.array([0, 1, 2, 3, -1, 1])
+    got = np.asarray(ops.sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    p = 1 / (1 + np.exp(-logits))
+    for i in range(6):
+        for c in range(3):
+            if targets[i] < 0:
+                want = 0.0
+            elif targets[i] == c + 1:
+                want = -0.25 * (1 - p[i, c]) ** 2 * np.log(p[i, c])
+            else:
+                want = -0.75 * p[i, c] ** 2 * np.log(1 - p[i, c])
+            assert abs(got[i, c] - want) < 1e-4
+
+
+def test_smooth_l1():
+    x = jnp.asarray([-2.0, -0.5, 0.0, 0.5, 2.0])
+    got = np.asarray(ops.smooth_l1(x))
+    np.testing.assert_allclose(got, [1.5, 0.125, 0.0, 0.125, 1.5], rtol=1e-6)
