@@ -2,14 +2,22 @@
 
 XLA collectives execute on CPU without a cluster, so distributed code paths are
 exercised with `--xla_force_host_platform_device_count=8` (see SURVEY.md §4).
-Must be set before jax initializes its backends.
+
+NOTE: this environment's axon sitecustomize calls jax.config programmatically,
+which overrides the JAX_PLATFORMS env var — so we must also force the platform
+via jax.config.update AFTER importing jax, or tests silently run on the single
+real TPU chip through the tunnel (slow, and hangs under process contention).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -18,3 +26,10 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    devs = jax.devices()
+    assert devs[0].platform == "cpu"
+    return devs
