@@ -1,0 +1,93 @@
+"""Feature Pyramid Network (reference modeling/backbone/fpn.py:7-103).
+
+Lateral 1x1 convs + nearest-neighbour top-down upsampling + 3x3 output convs,
+plus LastLevelMaxPool producing P6. NHWC, dtype-parameterized.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class FPN(nn.Module):
+    out_channels: int = 256
+    use_gn: bool = False
+    use_relu: bool = False
+    top_blocks: str = "maxpool"  # "maxpool" (P6) | "none"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray]):
+        """features: (C2, C3, C4, C5) -> (P2, P3, P4, P5[, P6])."""
+        conv = lambda f, k, name: nn.Conv(
+            f, (k, k), padding=[(k // 2,) * 2] * 2, dtype=self.dtype, name=name,
+            use_bias=not self.use_gn,
+        )
+        n = len(features)
+        laterals = []
+        for i, feat in enumerate(features):
+            x = conv(self.out_channels, 1, f"lateral{i + 2}")(feat)
+            if self.use_gn:
+                x = nn.GroupNorm(num_groups=32, epsilon=1e-5)(x)
+            if self.use_relu:
+                x = nn.relu(x)
+            laterals.append(x)
+        # top-down pathway
+        merged = [laterals[-1]]
+        for i in range(n - 2, -1, -1):
+            up = _upsample_nearest_2x(merged[0])
+            # crop in case of odd input sizes
+            up = up[:, : laterals[i].shape[1], : laterals[i].shape[2], :]
+            merged.insert(0, laterals[i] + up)
+        outs = []
+        for i, m in enumerate(merged):
+            x = conv(self.out_channels, 3, f"output{i + 2}")(m)
+            if self.use_gn:
+                x = nn.GroupNorm(num_groups=32, epsilon=1e-5)(x)
+            if self.use_relu:
+                x = nn.relu(x)
+            outs.append(x)
+        if self.top_blocks == "maxpool":
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        return tuple(outs)
+
+
+class ResNetFPNBackbone(nn.Module):
+    """R-{50,101}-FPN composite (reference modeling/backbone/backbone.py:37-56)."""
+
+    body: str = "R-101"
+    out_channels: int = 256
+    freeze_at: int = 2
+    use_gn_body: bool = False
+    use_gn_fpn: bool = False
+    use_relu_fpn: bool = False
+    stride_in_1x1: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from .resnet import ResNet
+
+        cs = ResNet(
+            body=self.body,
+            use_gn=self.use_gn_body,
+            freeze_at=self.freeze_at,
+            stride_in_1x1=self.stride_in_1x1,
+            dtype=self.dtype,
+            name="body",
+        )(x)
+        return FPN(
+            out_channels=self.out_channels,
+            use_gn=self.use_gn_fpn,
+            use_relu=self.use_relu_fpn,
+            dtype=self.dtype,
+            name="fpn",
+        )(cs)

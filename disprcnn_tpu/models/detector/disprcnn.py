@@ -1,0 +1,248 @@
+"""DispRCNN 2D stereo detector meta-architecture.
+
+Reference: modeling/detector/disprcnn.py:93-160. Left+right images are
+concatenated along batch for ONE backbone pass (disprcnn.py:121-125 — exactly
+the right TPU formulation: double batch, one conv net), features split per
+view, then Stereo RPN -> stereo box head -> mask head (left view).
+
+Fixed-shape contracts:
+- GT arrives padded to (B, MAX_GT, ...) with validity masks.
+- Train: proposals = post_nms_top_n + MAX_GT rows, subsampled and
+  gather-compacted to ROI_BATCH rows before pooling (so pooling cost is
+  512 ROIs, not 2000 — the reference subsamples before pooling too).
+- Eval: post_nms proposals pooled directly; detections padded to MAX_DET.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...structures.stereo import StereoBoxes
+from ..backbone.fpn import ResNetFPNBackbone
+from ..roi_heads import box_head as bh
+from ..roi_heads import mask_head as mh
+from ..rpn import stereo_rpn
+from ..rpn.anchors import AnchorGenerator
+
+
+class DispRCNN(nn.Module):
+    # backbone
+    body: str = "R-101"
+    out_channels: int = 256
+    freeze_at: int = 2
+    # anchors / rpn
+    anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    anchor_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    straddle_thresh: float = 0.0
+    pre_nms_top_n_train: int = 2000
+    pre_nms_top_n_test: int = 6000
+    post_nms_top_n_train: int = 2000
+    post_nms_top_n_test: int = 300
+    rpn_nms_thresh: float = 0.7
+    rpn_min_size: float = 0.0
+    rpn_fg_iou: float = 0.7
+    rpn_bg_iou: float = 0.3
+    rpn_batch_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    # box head
+    num_classes: int = 2
+    mlp_head_dim: int = 2048
+    box_resolution: int = 7
+    box_sampling_ratio: int = 0
+    pooler_scales: Tuple[float, ...] = (0.25, 0.125, 0.0625, 0.03125)
+    roi_batch_per_image: int = 512
+    roi_positive_fraction: float = 0.25
+    roi_fg_iou: float = 0.5
+    roi_bg_iou: float = 0.5
+    score_thresh: float = 0.05
+    box_nms_thresh: float = 0.5
+    detections_per_img: int = 100
+    max_det: int = 32
+    max_gt: int = 32
+    # mask head
+    mask_on: bool = True
+    mask_resolution: int = 14
+    mask_sampling_ratio: int = 2
+    # dtype policy
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        left: jnp.ndarray,  # (B, H, W, 3) normalized
+        right: jnp.ndarray,
+        train: bool = False,
+        gt_left: Optional[jnp.ndarray] = None,  # (B, M, 4)
+        gt_right: Optional[jnp.ndarray] = None,
+        gt_labels: Optional[jnp.ndarray] = None,  # (B, M)
+        gt_valid: Optional[jnp.ndarray] = None,  # (B, M)
+        gt_masks: Optional[jnp.ndarray] = None,  # (B, M, H, W)
+    ):
+        b, img_h, img_w, _ = left.shape
+        backbone = ResNetFPNBackbone(
+            body=self.body, out_channels=self.out_channels, freeze_at=self.freeze_at,
+            dtype=self.dtype, name="backbone",
+        )
+        feats = backbone(jnp.concatenate([left, right], axis=0))
+        lf = [f[:b] for f in feats]
+        rf = [f[b:] for f in feats]
+
+        gen = AnchorGenerator(
+            self.anchor_sizes, self.anchor_strides, self.aspect_ratios,
+            self.straddle_thresh,
+        )
+        anchors_np, vis_np = gen((img_h, img_w), [f.shape[1:3] for f in feats])
+        anchors = jnp.asarray(anchors_np)
+        visibility = jnp.asarray(vis_np)
+
+        head_outs = stereo_rpn.SRPNHead(
+            in_channels=self.out_channels,
+            num_anchors=gen.num_anchors_per_location,
+            dtype=self.dtype,
+            name="rpn_head",
+        )(lf, rf)
+        obj_logits, deltas = stereo_rpn.flatten_levels(head_outs)
+
+        out = {}
+        pre_nms = self.pre_nms_top_n_train if train else self.pre_nms_top_n_test
+        post_nms = self.post_nms_top_n_train if train else self.post_nms_top_n_test
+        proposals = jax.vmap(
+            lambda o, d: stereo_rpn.postprocess(
+                anchors, o, d, (img_h, img_w), pre_nms, post_nms,
+                self.rpn_nms_thresh, self.rpn_min_size,
+            )
+        )(obj_logits, deltas)  # StereoBoxes with leading batch axis
+
+        if train:
+            rpn_key = self.make_rng("sampling")
+            out["loss_objectness"], out["loss_rpn_box_reg"] = stereo_rpn.loss(
+                rpn_key, anchors, visibility, obj_logits, deltas,
+                gt_left, gt_right, gt_valid,
+                self.rpn_fg_iou, self.rpn_bg_iou,
+                self.rpn_batch_per_image, self.rpn_positive_fraction,
+            )
+            # append GT to proposals (SRPNPostProcessor.add_gt_proposals)
+            proposals = StereoBoxes(
+                left=jnp.concatenate([proposals.left, gt_left], axis=1),
+                right=jnp.concatenate([proposals.right, gt_right], axis=1),
+                score=jnp.concatenate(
+                    [proposals.score, jnp.ones(gt_valid.shape, proposals.score.dtype)], axis=1
+                ),
+                valid=jnp.concatenate([proposals.valid, gt_valid], axis=1),
+            )
+            # per-image matching + balanced subsample, then gather-compact
+            sub_key = self.make_rng("sampling")
+            keys = jax.random.split(sub_key, b)
+            labels, reg_targets, pos, sampled, matched_gt = jax.vmap(
+                lambda k, p, glb, grb, glab, gv: bh.subsample(
+                    k, p, glb, grb, glab, gv, self.roi_fg_iou, self.roi_bg_iou,
+                    self.roi_batch_per_image, self.roi_positive_fraction,
+                )
+            )(keys, proposals, gt_left, gt_right, gt_labels, gt_valid)
+            rois, roi_meta = _compact_sampled(
+                proposals, labels, reg_targets, pos, sampled, matched_gt,
+                self.roi_batch_per_image,
+            )
+        else:
+            rois = proposals
+
+        # flatten (B, P) ROIs -> (B*P,) with batch indices for pooling
+        p = rois.left.shape[1]
+        flat = lambda x: x.reshape((b * p,) + x.shape[2:])
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+        rois_flat = StereoBoxes(
+            left=flat(rois.left), right=flat(rois.right),
+            score=flat(rois.score), valid=flat(rois.valid),
+        )
+
+        extractor = bh.StereoBoxFeatureExtractor(
+            mlp_dim=self.mlp_head_dim, resolution=self.box_resolution,
+            scales=self.pooler_scales, sampling_ratio=self.box_sampling_ratio,
+            dtype=self.dtype, name="box_extractor",
+        )
+        x = extractor(lf[:-1], rf[:-1], rois_flat, batch_idx, train=train)
+        class_logits, box_deltas = bh.StereoBoxPredictor(
+            num_classes=self.num_classes, dtype=self.dtype, name="box_predictor"
+        )(x)
+
+        if train:
+            labels_f, regt_f, pos_f, samp_f = (
+                flat(roi_meta["labels"]), flat(roi_meta["reg_targets"]),
+                flat(roi_meta["pos"]), flat(roi_meta["sampled"]),
+            )
+            out["loss_classifier"], out["loss_box_reg"] = bh.head_loss(
+                class_logits, box_deltas, labels_f, regt_f, pos_f, samp_f
+            )
+            if self.mask_on:
+                mask_logits = mh.MaskHead(
+                    num_classes=self.num_classes, resolution=self.mask_resolution,
+                    scales=self.pooler_scales, sampling_ratio=self.mask_sampling_ratio,
+                    dtype=self.dtype, name="mask_head",
+                )(lf[:-1], rois_flat.left, batch_idx)
+                # gt mask lookup is per image: flatten gt index with batch offset
+                mg = flat(roi_meta["matched_gt"]) + batch_idx * self.max_gt
+                gm = gt_masks.reshape((-1,) + gt_masks.shape[2:])
+                out["loss_mask"] = mh.mask_loss(
+                    mask_logits, rois_flat.left, labels_f, pos_f, gm, mg
+                )
+            out["proposals"] = proposals
+            return out
+
+        # ---- inference ----
+        dets = jax.vmap(
+            lambda cl, bd, pr: bh.postprocess(
+                cl, bd, pr, (img_h, img_w), self.score_thresh, self.box_nms_thresh,
+                self.detections_per_img, self.max_det,
+            )
+        )(
+            class_logits.reshape(b, p, -1),
+            box_deltas.reshape(b, p, -1),
+            rois,
+        )
+        out["detections"] = dets
+        if self.mask_on:
+            d = self.max_det
+            det_flat_left = dets.left.reshape(b * d, 4)
+            det_batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
+            mask_logits = mh.MaskHead(
+                num_classes=self.num_classes, resolution=self.mask_resolution,
+                scales=self.pooler_scales, sampling_ratio=self.mask_sampling_ratio,
+                dtype=self.dtype, name="mask_head",
+            )(lf[:-1], det_flat_left, det_batch_idx)
+            probs = mh.mask_probs(
+                mask_logits, dets.fields["labels"].reshape(b * d)
+            )
+            out["masks"] = probs.reshape(b, d, *probs.shape[1:])
+        return out
+
+
+def _compact_sampled(
+    proposals: StereoBoxes,
+    labels: jnp.ndarray,  # (B, P)
+    reg_targets: jnp.ndarray,  # (B, P, 6)
+    pos: jnp.ndarray,
+    sampled: jnp.ndarray,
+    matched_gt: jnp.ndarray,  # (B, P)
+    roi_batch: int,
+):
+    """Gather the sampled rows into a fixed (B, roi_batch) block per image."""
+
+    def per_image(p: StereoBoxes, lab, regt, po, sa, mg):
+        pri = jnp.where(sa, 1.0, 0.0) + jnp.where(po, 1.0, 0.0)  # positives first
+        _, idx = jax.lax.top_k(pri, roi_batch)
+        keep = sa[idx]
+        rois = p.take(idx, keep)
+        meta = {
+            "labels": jnp.where(keep, lab[idx], -1),
+            "reg_targets": regt[idx],
+            "pos": po[idx] & keep,
+            "sampled": keep,
+            "matched_gt": mg[idx],
+        }
+        return rois, meta
+
+    return jax.vmap(per_image)(proposals, labels, reg_targets, pos, sampled, matched_gt)

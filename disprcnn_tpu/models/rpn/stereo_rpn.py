@@ -1,0 +1,149 @@
+"""Stereo RPN: joint left/right objectness + 6-param box regression.
+
+TPU-native reformulation of the reference StereoRPN
+(modeling/rpn/stereo_rpn/srpn.py:14-137, inference.py:124-202, loss.py:21-172):
+- SRPNHead: one shared 3x3 conv tower applied to both views, concat -> 1x1
+  cls (A*2, 2-way softmax) and 1x1 bbox (A*6) heads, per FPN level.
+- Postprocess: flatten all levels, decode 6-param deltas against anchors,
+  split L/R (shared y), clip, min-size filter, double-view NMS via the O(k*N)
+  select-and-suppress loop -> fixed post_nms_top_n proposals + validity mask.
+- Loss: anchors matched to the UNION of each GT pair (0.7/0.3, low-quality
+  recovery), balanced 256@0.5 sampling, 2-way cross-entropy + smooth-L1
+  (beta=1/9) on the 6-dim targets of sampled positives, normalized by the
+  number of sampled anchors.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops import pairwise_iou
+from ...ops.losses import smooth_l1
+from ...ops.nms import double_view_nms_topk
+from ...structures.stereo import StereoBoxes
+from . import box_coder
+from .matcher import balanced_sample, match
+
+
+class SRPNHead(nn.Module):
+    in_channels: int = 256
+    num_anchors: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, left_feats: Sequence[jnp.ndarray], right_feats: Sequence[jnp.ndarray]):
+        """-> list per level of (obj_logits (B,H,W,A,2), deltas (B,H,W,A,6))."""
+        conv = nn.Conv(
+            self.in_channels * 2, (3, 3), padding="SAME", dtype=self.dtype, name="conv"
+        )
+        cls = nn.Conv(self.num_anchors * 2, (1, 1), dtype=self.dtype, name="cls_logits")
+        box = nn.Conv(self.num_anchors * 6, (1, 1), dtype=self.dtype, name="bbox_pred")
+        outs = []
+        for lf, rf in zip(left_feats, right_feats):
+            lt = nn.relu(conv(lf))
+            rt = nn.relu(conv(rf))
+            t = jnp.concatenate([lt, rt], axis=-1)
+            b, h, w, _ = t.shape
+            logits = cls(t).reshape(b, h, w, self.num_anchors, 2)
+            deltas = box(t).reshape(b, h, w, self.num_anchors, 6)
+            outs.append((logits, deltas))
+        return outs
+
+
+def flatten_levels(head_outs) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Concat per-level outputs -> (B, N_tot, 2) logits, (B, N_tot, 6) deltas
+    in (level, H, W, A) anchor order."""
+    logits = jnp.concatenate(
+        [o[0].reshape(o[0].shape[0], -1, 2) for o in head_outs], axis=1
+    )
+    deltas = jnp.concatenate(
+        [o[1].reshape(o[1].shape[0], -1, 6) for o in head_outs], axis=1
+    )
+    return logits, deltas
+
+
+def postprocess(
+    anchors: jnp.ndarray,  # (N_tot, 4)
+    obj_logits: jnp.ndarray,  # (N_tot, 2) — single image
+    deltas: jnp.ndarray,  # (N_tot, 6)
+    image_hw: Tuple[int, int],
+    pre_nms_top_n: int,
+    post_nms_top_n: int,
+    nms_thresh: float,
+    min_size: float,
+) -> StereoBoxes:
+    """Single-image SRPN proposal selection -> StereoBoxes(post_nms_top_n)."""
+    scores = jax.nn.softmax(obj_logits, axis=-1)[:, 1]
+    k = min(pre_nms_top_n, anchors.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    box6 = box_coder.decode6(deltas[top_idx], anchors[top_idx])
+    left, right = box_coder.split_stereo(box6)
+    h, w = image_hw
+    clip = lambda b: jnp.stack(
+        [
+            jnp.clip(b[:, 0], 0, w - 1),
+            jnp.clip(b[:, 1], 0, h - 1),
+            jnp.clip(b[:, 2], 0, w - 1),
+            jnp.clip(b[:, 3], 0, h - 1),
+        ],
+        axis=-1,
+    )
+    left, right = clip(left), clip(right)
+    big = lambda b: (b[:, 2] - b[:, 0] >= min_size) & (b[:, 3] - b[:, 1] >= min_size)
+    valid = big(left) & big(right)
+    idx, ok = double_view_nms_topk(
+        left, right, top_scores, valid, nms_thresh, post_nms_top_n
+    )
+    return StereoBoxes(
+        left=left[idx], right=right[idx], score=top_scores[idx], valid=ok
+    )
+
+
+def loss(
+    key: jax.Array,
+    anchors: jnp.ndarray,  # (N, 4)
+    visibility: jnp.ndarray,  # (N,) bool
+    obj_logits: jnp.ndarray,  # (B, N, 2)
+    deltas: jnp.ndarray,  # (B, N, 6)
+    gt_left: jnp.ndarray,  # (B, M, 4)
+    gt_right: jnp.ndarray,  # (B, M, 4)
+    gt_valid: jnp.ndarray,  # (B, M) bool
+    fg_iou: float = 0.7,
+    bg_iou: float = 0.3,
+    batch_per_image: int = 256,
+    positive_fraction: float = 0.5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch SRPN loss -> (objectness_loss, box_loss)."""
+
+    def per_image(k, logit, delta, gl, gr, gv):
+        union = jnp.concatenate(
+            [jnp.minimum(gl[:, :2], gr[:, :2]), jnp.maximum(gl[:, 2:], gr[:, 2:])], -1
+        )
+        quality = pairwise_iou(union, anchors)  # (M, N)
+        m = match(quality, gv, fg_iou, bg_iou, allow_low_quality=True)
+        labels = jnp.where(m >= 0, 1.0, jnp.where(m == -1, 0.0, -1.0))
+        labels = jnp.where(visibility, labels, -1.0)
+        pos, neg = balanced_sample(k, labels, batch_per_image, positive_fraction)
+        sampled = pos | neg
+
+        gt6 = box_coder.join_stereo(gl, gr)[jnp.maximum(m, 0)]
+        reg_targets = box_coder.encode6(gt6, anchors)
+        box_l = jnp.sum(
+            smooth_l1(delta - reg_targets, beta=1.0 / 9) * pos[:, None]
+        )
+        logp = jax.nn.log_softmax(logit, axis=-1)
+        lbl = jnp.clip(labels, 0).astype(jnp.int32)
+        ce = -jnp.take_along_axis(logp, lbl[:, None], axis=-1)[:, 0]
+        obj_l = jnp.sum(ce * sampled)
+        return obj_l, box_l, jnp.sum(sampled)
+
+    keys = jax.random.split(key, obj_logits.shape[0])
+    obj_l, box_l, cnt = jax.vmap(per_image)(
+        keys, obj_logits, deltas, gt_left, gt_right, gt_valid
+    )
+    total = jnp.maximum(jnp.sum(cnt), 1.0)
+    # reference normalizes box loss by sampled count per batch and CE as a mean
+    return jnp.sum(obj_l) / total, jnp.sum(box_l) / total

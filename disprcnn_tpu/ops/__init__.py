@@ -21,7 +21,9 @@ from .nms import (
     batched_class_nms_mask,
     bev_nms_mask,
     double_view_nms_mask,
+    double_view_nms_topk,
     nms_mask,
+    nms_topk,
     topk_after_nms,
 )
 from .points import (

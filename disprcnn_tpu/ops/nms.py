@@ -107,6 +107,69 @@ def bev_nms_mask(
     return jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
 
 
+def _iou_row(box: jnp.ndarray, boxes: jnp.ndarray, to_remove: float) -> jnp.ndarray:
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:], boxes[:, 2:])
+    wh = jnp.maximum(rb - lt + to_remove, 0.0)
+    inter = wh[:, 0] * wh[:, 1]
+    area = lambda b: jnp.maximum(b[..., 2] - b[..., 0] + to_remove, 0.0) * jnp.maximum(
+        b[..., 3] - b[..., 1] + to_remove, 0.0
+    )
+    return inter / jnp.maximum(area(box) + area(boxes) - inter, 1e-12)
+
+
+def nms_topk(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    k: int,
+    to_remove: float = 1.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS that emits only the first k survivors: O(k*N) select-and-
+    suppress loop, no N^2 IoU matrix. Identical output prefix to full greedy
+    NMS — the right formulation when N is large (e.g. 6000 RPN proposals) and
+    only post_nms_top_n survivors are needed.
+
+    Returns (indices (k,), out_valid (k,)), score-descending.
+    """
+    n = boxes.shape[0]
+
+    def body(i, state):
+        alive, out_idx, out_valid = state
+        s = jnp.where(alive, scores, _NEG)
+        j = jnp.argmax(s)
+        ok = s[j] > _NEG / 2
+        row = _iou_row(boxes[j], boxes, to_remove)
+        kill = (row > iou_thresh) | (jnp.arange(n) == j)
+        alive = alive & jnp.where(ok, ~kill, True)
+        return alive, out_idx.at[i].set(j), out_valid.at[i].set(ok)
+
+    state = (valid, jnp.zeros(k, jnp.int32), jnp.zeros(k, bool))
+    _, out_idx, out_valid = jax.lax.fori_loop(0, k, body, state)
+    return out_idx, out_valid
+
+
+def double_view_nms_topk(
+    boxes_left: jnp.ndarray,
+    boxes_right: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    k: int,
+    to_remove: float = 1.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """nms_topk on the union of each L/R box pair (SRPN postprocessor NMS)."""
+    union = jnp.concatenate(
+        [
+            jnp.minimum(boxes_left[:, :2], boxes_right[:, :2]),
+            jnp.maximum(boxes_left[:, 2:], boxes_right[:, 2:]),
+        ],
+        axis=-1,
+    )
+    return nms_topk(union, scores, valid, iou_thresh, k, to_remove=to_remove)
+
+
 def topk_after_nms(
     keep: jnp.ndarray, scores: jnp.ndarray, k: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
