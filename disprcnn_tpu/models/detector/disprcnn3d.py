@@ -1,0 +1,239 @@
+"""DispRCNN3D meta-architecture: offline 2D detections -> iDispNet -> PointRCNN.
+
+Reference: modeling/detector/disprcnn3d.py:16-323. Consumes the 2D stage's
+detections (boxes + mask probs), crops BOTH raw images to width-aligned
+224x224 ROIs (one batched ROIAlign instead of the reference's per-ROI host
+loop, disprcnn3d.py:62-159), runs the full PSMNet on the ROI batch — the
+instance axis is the MXU batch — and lifts masked instance disparity to
+pseudo-LiDAR for PointRCNN.
+
+Training paths (SOLVER.TRAIN_PSM / TRAIN_PC, disprcnn3d.py:209-264):
+- PSM: deep-supervised masked smooth-L1 between predicted ROI disparity and
+  the GT full-image disparity warped into ROI coords, masked by
+  (pred mask & GT mask).
+- PC: matched-GT RPN labels + RCNN refinement losses (PointRCNN module).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops import pairwise_iou
+from ...ops.roi_align import roi_align_batched
+from ...structures.stereo import StereoBoxes
+from ..pointrcnn import lift
+from ..pointrcnn.point_rcnn import PointRCNN
+from ..psmnet.psmnet import PSMNet
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def width_aligned_crop_boxes(left: jnp.ndarray, right: jnp.ndarray):
+    """Integer-expanded boxes sharing a common width (disprcnn3d.py:62-96).
+
+    Returns (left_crop (R,4), right_crop (R,4)) where both spans are
+    max(w_left, w_right) wide starting at their own x1.
+    """
+    li = lift.expand_box_to_integer(left)
+    ri = lift.expand_box_to_integer(right)
+    w = jnp.maximum(li[:, 2] - li[:, 0], ri[:, 2] - ri[:, 0])
+    lb = jnp.stack([li[:, 0], li[:, 1], li[:, 0] + w, li[:, 3]], axis=-1)
+    rb = jnp.stack([ri[:, 0], li[:, 1], ri[:, 0] + w, li[:, 3]], axis=-1)
+    return lb, rb
+
+
+def crop_and_normalize(
+    images: jnp.ndarray,  # (B, H, W, 3) RAW rgb in [0, 1]
+    boxes: jnp.ndarray,  # (R, 4)
+    batch_idx: jnp.ndarray,  # (R,)
+    size: int = 224,
+) -> jnp.ndarray:
+    """224^2 crops, ImageNet-normalized (disprcnn3d.py:44-50)."""
+    crops = roi_align_batched(images, boxes, batch_idx, size, 1.0, sampling_ratio=1)
+    mean = jnp.asarray(IMAGENET_MEAN, crops.dtype)
+    std = jnp.asarray(IMAGENET_STD, crops.dtype)
+    return (crops - mean) / std
+
+
+def warp_gt_disparity_to_roi(
+    gt_disp: jnp.ndarray,  # (H, W) full-image GT disparity
+    left_crop: jnp.ndarray,  # (4,)
+    right_crop: jnp.ndarray,
+    size: int = 224,
+) -> jnp.ndarray:
+    """GT disparity in ROI coords: sample over the left crop, value-rescale by
+    size/width, shift by x1 - x1' (generate_psmnet_input_inf.py semantics)."""
+    x1, y1, x2, y2 = left_crop[0], left_crop[1], left_crop[2], left_crop[3]
+    w = x2 - x1
+    h = y2 - y1
+    gy = y1 + (jnp.arange(size) + 0.5) / size * h - 0.5
+    gx = x1 + (jnp.arange(size) + 0.5) / size * w - 0.5
+    yy = jnp.broadcast_to(gy[:, None], (size, size))
+    xx = jnp.broadcast_to(gx[None, :], (size, size))
+    vals = lift._bilinear(gt_disp, yy, xx)
+    # ROI disparity = full disparity - (x1 - x1'): inverse of the prediction
+    # path's `disp_roi + x1 - x1p` (point_rcnn.py:217); the value rescale
+    # follows DisparityMap.resize semantics.
+    return (vals - (left_crop[0] - right_crop[0])) * (size / jnp.maximum(w, 1.0))
+
+
+class DispRCNN3D(nn.Module):
+    max_det: int = 32
+    roi_size: int = 224
+    maxdisp: int = 48
+    mindisp: int = -48
+    npoints: int = 768
+    lift_grid: int = 112
+    mask_thresh_train: float = 0.7
+    mask_thresh_eval: float = 0.5
+    mean_size: Tuple[float, float, float] = (1.52563191462, 1.62856739989, 3.88311640418)
+    rcnn_enabled: bool = True
+    rpn_fixed: bool = False
+    proposals_per_roi: int = 64
+    rcnn_rois_per_instance: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        left_img: jnp.ndarray,  # (B, H, W, 3) raw [0,1] rgb
+        right_img: jnp.ndarray,
+        dets: StereoBoxes,  # batched (B, D, ...) offline 2D predictions;
+        #   fields: 'mask' (B, D, M, M) probabilities
+        calib: dict,  # {'fu','fv','cu','cv','tx','ty','fuxb'}: (B,) arrays
+        train: bool = False,
+        train_psm: bool = False,
+        train_pc: bool = False,
+        gt_disp: Optional[jnp.ndarray] = None,  # (B, H, W) full GT disparity
+        gt_mask_full: Optional[jnp.ndarray] = None,  # (B, D_gt?, H, W) unused yet
+        gt_left: Optional[jnp.ndarray] = None,  # (B, M, 4) for matching
+        gt_boxes3d: Optional[jnp.ndarray] = None,  # (B, M, 7) xyzhwl_ry rect
+        gt_valid: Optional[jnp.ndarray] = None,  # (B, M)
+    ):
+        b, d = dets.left.shape[0], dets.left.shape[1]
+        r = b * d
+        img_h, img_w = left_img.shape[1], left_img.shape[2]
+        flat = lambda x: x.reshape((r,) + x.shape[2:])
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
+        left_b, right_b = flat(dets.left), flat(dets.right)
+        valid = flat(dets.valid)
+        masks = flat(dets.fields["mask"])
+
+        lb, rb = width_aligned_crop_boxes(left_b, right_b)
+        left_crops = crop_and_normalize(left_img, lb, batch_idx, self.roi_size)
+        right_crops = crop_and_normalize(right_img, rb, batch_idx, self.roi_size)
+
+        psm = PSMNet(
+            maxdisp=self.maxdisp, mindisp=self.mindisp, dtype=self.dtype, name="idispnet"
+        )
+        out = {}
+        if train and train_psm:
+            p1, p2, p3 = psm(left_crops, right_crops, train=True)
+            disp_roi = p3
+        else:
+            disp_roi = psm(left_crops, right_crops, train=False)
+
+        if train and train_psm and gt_disp is not None:
+            tgt = jax.vmap(
+                lambda bi, l, rr: warp_gt_disparity_to_roi(gt_disp[bi], l, rr, self.roi_size)
+            )(batch_idx, lb, rb)
+            # mask: predicted mask warped to the crop grid & target in range
+            mgrid = _mask_on_crop(masks, left_b, lb, self.roi_size, self.mask_thresh_train)
+            m = (
+                mgrid
+                & (tgt > self.mindisp)
+                & (tgt < self.maxdisp)
+                & valid[:, None, None]
+            ).astype(disp_roi.dtype)
+            denom = jnp.maximum(jnp.sum(m), 1.0)
+            loss = 0.0
+            for w_, p in zip((0.5, 0.7, 1.0), (p1, p2, p3)):
+                ax = jnp.abs(p - tgt)
+                sl1 = jnp.where(ax < 1.0, 0.5 * ax * ax, ax - 0.5)
+                loss = loss + w_ * jnp.sum(sl1 * m) / denom
+            out["loss_psm"] = loss
+        out["disparity_roi"] = disp_roi
+
+        if not (self.rcnn_enabled or train_pc) and not train:
+            return out
+
+        # ---- pseudo-LiDAR lift ----
+        g = lambda k: calib[k][batch_idx]
+        mask_thresh = self.mask_thresh_train if train else self.mask_thresh_eval
+        pts_cand, cand_ok = lift.roi_points_candidates(
+            disp_roi, masks, left_b, right_b,
+            g("fu"), g("fv"), g("cu"), g("cv"), g("tx"), g("ty"), g("fuxb"),
+            grid=self.lift_grid, mask_thresh=mask_thresh,
+            min_depth=0.0, max_depth=160.0,
+        )
+        key = self.make_rng("sampling")
+        pts, has_pts = lift.sample_fixed_points(key, pts_cand, cand_ok, self.npoints)
+        roi_ok = valid & has_pts
+        angles = lift.canonical_angles(left_b, float(img_w), g("fu"))
+        pts_c, pts_mean = lift.canonicalize(pts, angles)
+
+        gt_match = gt_ok = None
+        if train:
+            # match detections to GT by left-box IoU (PointRCNN
+            # match_targets_to_proposals)
+            def match_one(lbx, v, gl, g3d, gv):
+                iou = pairwise_iou(gl, lbx) * gv[:, None]
+                best = jnp.argmax(iou, axis=0)
+                best_iou = jnp.max(iou, axis=0)
+                ok = (best_iou >= 0.5) & v
+                return g3d[best], ok
+
+            gt_match, gt_ok = jax.vmap(match_one)(
+                dets.left, dets.valid, gt_left, gt_boxes3d, gt_valid
+            )
+            gt_match, gt_ok = flat(gt_match), flat(gt_ok)
+
+        prcnn = PointRCNN(
+            npoints=self.npoints, mean_size=self.mean_size,
+            rcnn_enabled=self.rcnn_enabled, proposals_per_roi=self.proposals_per_roi,
+            rcnn_rois_per_instance=self.rcnn_rois_per_instance,
+            dtype=self.dtype, name="pointrcnn",
+        )
+        pr_out = prcnn(
+            pts_c, roi_ok, angles, pts_mean,
+            train=train and train_pc,
+            gt_boxes3d=gt_match, gt_ok=gt_ok,
+            rpn_fixed=self.rpn_fixed,
+            sampling_key=self.make_rng("sampling") if train else None,
+        )
+        if train and train_pc:
+            out.update({k: v for k, v in pr_out.items() if k.startswith("loss")})
+        else:
+            for k in ("box3d", "score3d", "random"):
+                if k in pr_out:
+                    out[k] = pr_out[k].reshape((b, d) + pr_out[k].shape[1:])
+            out["roi_ok"] = roi_ok.reshape(b, d)
+        return out
+
+
+def _mask_on_crop(
+    masks: jnp.ndarray,  # (R, M, M) probs in box coords
+    box: jnp.ndarray,  # (R, 4) original left boxes
+    crop: jnp.ndarray,  # (R, 4) integer crop boxes
+    size: int,
+    thresh: float,
+) -> jnp.ndarray:
+    """Sample each instance mask on the crop's pixel grid -> (R, size, size) bool."""
+
+    def one(mk, bx, cb):
+        h = cb[3] - cb[1]
+        w = cb[2] - cb[0]
+        gy = cb[1] + (jnp.arange(size) + 0.5) / size * h - 0.5
+        gx = cb[0] + (jnp.arange(size) + 0.5) / size * w - 0.5
+        m = mk.shape[-1]
+        my = (gy[:, None] - bx[1]) / jnp.maximum(bx[3] - bx[1], 1.0) * m - 0.5
+        mx = (gx[None, :] - bx[0]) / jnp.maximum(bx[2] - bx[0], 1.0) * m - 0.5
+        my = jnp.broadcast_to(my, (size, size))
+        mx = jnp.broadcast_to(mx, (size, size))
+        return lift._bilinear(mk, my, mx) > thresh
+
+    return jax.vmap(one)(masks, box, crop)

@@ -1,0 +1,198 @@
+"""Pseudo-LiDAR lift: instance disparity + mask -> fixed-768-point clouds.
+
+Batched, fixed-shape replacement of the reference's per-ROI host loops
+(point_rcnn.py:37-242 process_input / process_input_eval / back_project):
+- boxes are integer-expanded (floor/ceil, stereo_utils.expand_box_to_integer),
+- the 224^2 ROI disparity is sampled on a static G x G grid over the box with
+  the DisparityMap value-rescale (x max(w, w') / 224) and the left/right
+  x-offset shift, then depth = fu*baseline / disp,
+- pixels are masked by the instance mask and lifted through the calibration,
+- exactly `npoints` points are drawn per ROI (PRNG priority sampling with
+  cycled repetition for short counts — the fixed-shape analogue of
+  np.random.choice pad+shuffle),
+- clouds are canonically rotated by atan2(cx - W/2, fu) (utils_3d.py:74-117)
+  and mean-centred.
+
+Deviation from reference: sampling happens on the G x G sub-pixel grid rather
+than the exact integer pixel lattice of the box — sub-pixel-level difference,
+but branch-free and batched.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...structures.boxes3d import rotate_points_along_y
+
+
+def expand_box_to_integer(box: jnp.ndarray) -> jnp.ndarray:
+    """floor x1/y1, ceil x2/y2 (reference utils/stereo_utils.py)."""
+    return jnp.stack(
+        [
+            jnp.floor(box[..., 0]),
+            jnp.floor(box[..., 1]),
+            jnp.ceil(box[..., 2]),
+            jnp.ceil(box[..., 3]),
+        ],
+        axis=-1,
+    )
+
+
+def _bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample (H, W) at float coords, border-clamped."""
+    h, w = img.shape
+    y = jnp.clip(ys, 0.0, h - 1.0)
+    x = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    ly, lx = y - y0, x - x0
+    return (
+        img[y0, x0] * (1 - ly) * (1 - lx)
+        + img[y0, x0 + 1] * (1 - ly) * lx
+        + img[y0 + 1, x0] * ly * (1 - lx)
+        + img[y0 + 1, x0 + 1] * ly * lx
+    )
+
+
+def roi_points_candidates(
+    disp_roi: jnp.ndarray,  # (R, S, S) instance disparity in ROI crop coords
+    mask_prob: jnp.ndarray,  # (R, M, M) mask probabilities in ROI coords
+    left_box: jnp.ndarray,  # (R, 4)
+    right_box: jnp.ndarray,  # (R, 4)
+    fu: jnp.ndarray,
+    fv: jnp.ndarray,
+    cu: jnp.ndarray,
+    cv: jnp.ndarray,
+    tx: jnp.ndarray,
+    ty: jnp.ndarray,
+    fuxbaseline: jnp.ndarray,
+    grid: int = 112,
+    mask_thresh: float = 0.5,
+    min_depth: float = 0.0,
+    max_depth: float = 160.0,
+):
+    """-> (pts (R, G*G, 3) rect-frame, valid (R, G*G))."""
+    s = disp_roi.shape[-1]
+
+    def per_roi(disp, mprob, lb, rb, fu, fv, cu, cv, tx, ty, fuxbaseline):
+        li = expand_box_to_integer(lb)
+        ri = expand_box_to_integer(rb)
+        x1, y1, x2, y2 = li[0], li[1], li[2], li[3]
+        w = x2 - x1
+        h = y2 - y1
+        wmax = jnp.maximum(w, ri[2] - ri[0])
+        # pixel grid over the box (sub-pixel lattice)
+        gy = (jnp.arange(grid) + 0.5) / grid
+        gx = (jnp.arange(grid) + 0.5) / grid
+        v = y1 + gy[:, None] * h  # (G, 1)
+        u = x1 + gx[None, :] * w  # (1, G)
+        v = jnp.broadcast_to(v, (grid, grid))
+        u = jnp.broadcast_to(u, (grid, grid))
+        # disparity sampled from the S^2 crop: crop x covers [0, wmax) of the
+        # resized map; pixel (u - x1) in resized coords -> (u - x1)/wmax * S
+        sy = (v - y1) / jnp.maximum(h, 1.0) * s - 0.5
+        sx = (u - x1) / jnp.maximum(wmax, 1.0) * s - 0.5
+        d = _bilinear(disp, sy, sx) * (wmax / s)  # value rescale
+        d = d + (x1 - ri[0])  # left/right crop offset
+        depth = fuxbaseline / (d + 1e-6)
+        # mask sampled over the box extent (Masker paste equivalent)
+        m = mask_prob.shape[-1]
+        my = (v - lb[1]) / jnp.maximum(lb[3] - lb[1], 1.0) * m - 0.5
+        mx = (u - lb[0]) / jnp.maximum(lb[2] - lb[0], 1.0) * m - 0.5
+        mval = _bilinear(mprob, my, mx)
+        ok = (mval > mask_thresh) & (depth > min_depth) & (u < x2) & (v < y2)
+        depth = jnp.clip(depth, None, max_depth)
+        x = (u - cu) * depth / fu + tx
+        y = (v - cv) * depth / fv + ty
+        pts = jnp.stack([x, y, depth], axis=-1).reshape(-1, 3)
+        return pts, ok.reshape(-1)
+
+    return jax.vmap(per_roi)(
+        disp_roi, mask_prob, left_box, right_box, fu, fv, cu, cv, tx, ty, fuxbaseline
+    )
+
+
+def sample_fixed_points(
+    key: jax.Array,
+    pts: jnp.ndarray,  # (R, C, 3) candidates
+    valid: jnp.ndarray,  # (R, C)
+    npoints: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (sampled (R, npoints, 3), roi_ok (R,) any-valid flag)."""
+    r, c, _ = pts.shape
+    keys = jax.random.split(key, r)
+
+    def per_roi(k, p, v):
+        pri = jnp.where(v, jax.random.uniform(k, (c,)), -1.0)
+        _, idx = jax.lax.top_k(pri, npoints)
+        cnt = jnp.minimum(jnp.sum(v), npoints)
+        slot = jnp.arange(npoints)
+        sel = jnp.where(slot < cnt, slot, slot % jnp.maximum(cnt, 1))
+        return p[idx[sel]], cnt > 0
+
+    return jax.vmap(per_roi)(keys, pts, valid)
+
+
+def canonical_angles(left_box: jnp.ndarray, image_w: float, fu: jnp.ndarray) -> jnp.ndarray:
+    """atan2(box_cx - W/2, fu) per ROI (utils_3d.rotate_pc_along_y.__init__)."""
+    cx = (left_box[..., 0] + left_box[..., 2]) / 2
+    return jnp.arctan2(cx - image_w / 2, fu)
+
+
+def canonicalize(pts: jnp.ndarray, angles: jnp.ndarray):
+    """Rotate per-ROI clouds by their viewing angle, then mean-centre.
+    Returns (pts_canonical, pts_mean)."""
+    rot = rotate_points_along_y(pts, angles)
+    mean = rot.mean(axis=1)
+    return rot - mean[:, None, :], mean
+
+
+def decanonicalize(pts: jnp.ndarray, angles: jnp.ndarray, mean: jnp.ndarray):
+    """Inverse of canonicalize (rotate_back)."""
+    return rotate_points_along_y(pts + mean[:, None, :], -angles)
+
+
+def canonicalize_boxes3d(boxes: jnp.ndarray, angles: jnp.ndarray, mean: jnp.ndarray):
+    """Transform (R, 7) xyzhwl_ry boxes into each ROI's canonical frame via
+    their corners (matches the reference's corner round-trip)."""
+    from ...structures.boxes3d import corners_from_xyzhwl_ry, xyzhwl_ry_from_corners
+
+    corners = corners_from_xyzhwl_ry(boxes)  # (R, 8, 3)
+    corners = rotate_points_along_y(corners, angles) - mean[:, None, :]
+    return xyzhwl_ry_from_corners(corners)
+
+
+def decanonicalize_boxes3d(boxes: jnp.ndarray, angles: jnp.ndarray, mean: jnp.ndarray):
+    """Inverse of canonicalize_boxes3d: un-centre then rotate back."""
+    from ...structures.boxes3d import corners_from_xyzhwl_ry, xyzhwl_ry_from_corners
+
+    corners = corners_from_xyzhwl_ry(boxes) + mean[:, None, :]
+    corners = rotate_points_along_y(corners, -angles)
+    return xyzhwl_ry_from_corners(corners)
+
+
+def rpn_point_labels(
+    pts: jnp.ndarray,  # (R, N, 3) canonical-frame points
+    gt_boxes: jnp.ndarray,  # (R, 7) canonical-frame matched gt xyzhwl_ry
+    gt_ok: jnp.ndarray,  # (R,)
+):
+    """-> cls_label (R, N) in {1, 0, -1}, reg_label (R, N, 7)
+    (point_rcnn.py:402-432 generate_rpn_training_labels)."""
+    from ...ops.roipool3d import pts_in_boxes3d
+
+    def per_roi(p, box, ok):
+        inside = pts_in_boxes3d(p, box[None])[0]
+        grown = box.at[3:6].add(0.4).at[1].add(0.2)  # enlarge_box3d(0.2)
+        near = pts_in_boxes3d(p, grown[None])[0]
+        cls = jnp.where(inside, 1.0, jnp.where(near, -1.0, 0.0))
+        cls = jnp.where(ok, cls, 0.0)
+        center = box[0:3].at[1].add(-box[3] / 2)  # true 3D centre
+        reg = jnp.zeros((p.shape[0], 7), p.dtype)
+        reg = reg.at[:, 0:3].set(center[None] - p)
+        reg = reg.at[:, 3].set(box[3]).at[:, 4].set(box[4]).at[:, 5].set(box[5])
+        reg = reg.at[:, 6].set(box[6])
+        return cls, reg
+
+    return jax.vmap(per_roi)(pts, gt_boxes, gt_ok)

@@ -1,0 +1,126 @@
+"""PointRCNN 3D stage: pseudo-LiDAR lift -> 3D RPN -> proposal layer -> RCNN.
+
+Reference: .../lib/net/point_rcnn.py:18-471. The per-ROI host loops become the
+batched ops in lift.py; each 2D detection is one fixed-768-point cloud on the
+instance axis.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from . import bbox3d_codec as codec
+from . import lift, rcnn3d, rpn3d
+
+
+class PointRCNN(nn.Module):
+    npoints: int = 768
+    mean_size: Tuple[float, float, float] = (1.52563191462, 1.62856739989, 3.88311640418)  # h, w, l
+    rpn_codec: codec.CodecCfg = codec.CodecCfg(
+        loc_scope=3.0, loc_bin_size=0.5, num_head_bin=12, xz_fine=False
+    )
+    rpn_use_bn: bool = True
+    rpn_loss_cls: str = "BinaryCrossEntropy"
+    rpn_score_thresh: float = 0.3
+    proposals_per_roi: int = 64
+    rpn_nms_thresh: float = 0.8
+    rcnn_enabled: bool = True
+    rcnn_num_points: int = 512
+    rcnn_rois_per_instance: int = 16
+    rcnn_score_thresh: float = 0.1
+    sa_npoints: Tuple[int, ...] = (4096, 1024, 256, 64)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        pts: jnp.ndarray,  # (R, N, 3) canonical per-instance clouds
+        roi_valid: jnp.ndarray,  # (R,)
+        angles: jnp.ndarray,  # (R,) canonical rotation angles
+        pts_mean: jnp.ndarray,  # (R, 3)
+        train: bool = False,
+        gt_boxes3d: Optional[jnp.ndarray] = None,  # (R, 7) matched, RECT frame
+        gt_ok: Optional[jnp.ndarray] = None,  # (R,)
+        rpn_fixed: bool = False,
+        sampling_key: Optional[jax.Array] = None,
+    ):
+        anchor = jnp.asarray(self.mean_size, self.dtype)
+        rpn = rpn3d.RPN3D(
+            codec_cfg=self.rpn_codec, use_bn=self.rpn_use_bn,
+            npoints=self.sa_npoints, dtype=self.dtype, name="rpn",
+        )
+        rpn_out = rpn(pts, train=train and not rpn_fixed)
+        out = {}
+        if train and gt_boxes3d is not None:
+            gt_canon = lift.canonicalize_boxes3d(gt_boxes3d, angles, pts_mean)
+            cls_label, reg_label = lift.rpn_point_labels(pts, gt_canon, gt_ok)
+            if not rpn_fixed:
+                out.update(
+                    rpn3d.rpn_loss(
+                        rpn_out["cls"], rpn_out["reg"], cls_label, reg_label,
+                        roi_valid & gt_ok, anchor, self.rpn_codec,
+                        loss_cls=self.rpn_loss_cls,
+                    )
+                )
+        if not self.rcnn_enabled:
+            out["rpn_cls"] = rpn_out["cls"]
+            return out
+
+        # proposals in the canonical frame, then rotate back to rect frame
+        rois_c, roi_scores, prop_valid = rpn3d.propose(
+            rpn_out["cls"], rpn_out["reg"], rpn_out["xyz"], anchor, self.rpn_codec,
+            pre_nms_top_n=pts.shape[1], post_nms_top_n=self.proposals_per_roi,
+            nms_thresh=self.rpn_nms_thresh,
+        )
+        r, m = rois_c.shape[0], rois_c.shape[1]
+        rois = _decanon_rois(rois_c, angles, pts_mean)
+        prop_valid = prop_valid & roi_valid[:, None]
+
+        # rect-frame points + features for pooling
+        xyz_rect = lift.decanonicalize(rpn_out["xyz"], angles, pts_mean)
+        seg_mask = (jax.nn.sigmoid(rpn_out["cls"]) > self.rpn_score_thresh).astype(self.dtype)
+
+        if train:
+            s_rois, cls_label, reg_mask, gt_ct, s_ok = rcnn3d.sample_rcnn_rois(
+                sampling_key, rois, prop_valid, gt_boxes3d, gt_ok & roi_valid,
+                rois_per_instance=self.rcnn_rois_per_instance,
+            )
+            pool_rois = s_rois
+        else:
+            pool_rois = rois
+
+        pts_input, empty = rcnn3d.pool_rcnn_inputs(
+            xyz_rect, rpn_out["features"], seg_mask, pool_rois,
+            num_points=self.rcnn_num_points,
+        )
+        k = pool_rois.shape[1]
+        cls_pred, reg_pred = rcnn3d.RCNNNet(dtype=self.dtype, name="rcnn")(
+            pts_input.reshape(r * k, self.rcnn_num_points, -1), train=train
+        )
+        if train:
+            out["loss_box3d"] = rcnn3d.rcnn_loss(
+                cls_pred, reg_pred,
+                jnp.where(s_ok.reshape(-1), cls_label.reshape(-1), -1.0),
+                reg_mask.reshape(-1), gt_ct.reshape(-1, 7), anchor,
+            )
+            return out
+
+        box3d, score3d, is_random = rcnn3d.rcnn_postprocess(
+            cls_pred.reshape(r, k), reg_pred.reshape(r, k, -1), pool_rois,
+            prop_valid & ~empty, roi_scores, anchor,
+            score_thresh=self.rcnn_score_thresh,
+        )
+        out.update({"box3d": box3d, "score3d": score3d, "random": is_random})
+        return out
+
+
+def _decanon_rois(rois_c: jnp.ndarray, angles: jnp.ndarray, pts_mean: jnp.ndarray):
+    """(R, M, 7) canonical rois -> rect frame."""
+    r, m, _ = rois_c.shape
+    flat = rois_c.reshape(r * m, 7)
+    ang = jnp.repeat(angles, m)
+    mean = jnp.repeat(pts_mean, m, axis=0)
+    return lift.decanonicalize_boxes3d(flat, ang, mean).reshape(r, m, 7)

@@ -1,0 +1,236 @@
+"""3D RCNN refinement stage (canonical per-proposal PointNet).
+
+Reference: .../lib/net/rcnn_net.py:24-242, rpn/proposal_target_layer.py:15-348,
+net/rcnn_loss.py:9-134, net/rcnn_inference.py:12-128.
+
+Pipeline (per 2D instance, fixed M proposals):
+- pool NUM_POINTS=512 points + features per proposal box (enlarged by
+  POOL_EXTRA_WIDTH) with roipool3d; extra channels = seg_mask, depth/70-0.5,
+- canonical transform: subtract roi centre, rotate by roi yaw,
+- xyz-up SharedMLP on the first (3+2) channels, merge with RPN features,
+  3 SA modules (128 -> 32 -> all), cls + bin-reg heads,
+- train: IoU3D-based fg/bg sampling (fg>=0.55, hard/easy bg split), BCE cls on
+  iou>0.6 labels, canonical bin-based reg on fg,
+- eval: sigmoid scores, threshold, take the best refined box per instance
+  (falling back to the best RPN proposal — the reference's `random` flag).
+
+Deviations (round 1): the reference's ROI noise augmentation
+(aug_roi_by_noise_torch) and train-time flip/rot/scale augs are not yet
+applied; sampling is PRNG-keyed instead.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.iou import pairwise_iou3d
+from ...ops.roipool3d import roipool3d
+from ...structures.boxes3d import rotate_points_along_y
+from . import bbox3d_codec as codec
+from .pointnet2 import SAModule, SharedMLP
+
+
+RCNN_CODEC = codec.CodecCfg(
+    loc_scope=1.5, loc_bin_size=0.5, num_head_bin=9, xz_fine=True, ry_fine=True
+)
+
+
+class RCNNNet(nn.Module):
+    xyz_up: Sequence[int] = (128, 128)
+    sa_npoints: Sequence[int] = (128, 32, -1)
+    sa_radius: Sequence[float] = (0.2, 0.4, 100.0)
+    sa_nsample: Sequence[int] = (64, 64, 64)
+    sa_mlps: Sequence[Sequence[int]] = ((128, 128, 128), (128, 128, 256), (256, 256, 512))
+    cls_fc: Sequence[int] = (256, 256)
+    reg_fc: Sequence[int] = (256, 256)
+    use_bn: bool = False
+    dp_ratio: float = 0.0
+    input_extra: int = 2  # seg_mask + depth
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pts_input: jnp.ndarray, train: bool = False):
+        """pts_input (B, NUM_POINTS, 5 + C_rpn) -> (cls (B,), reg (B, C))."""
+        nc_in = 3 + self.input_extra
+        xyz = pts_input[..., 0:3]
+        xyz_feat = SharedMLP(self.xyz_up, self.use_bn, self.dtype, name="xyz_up")(
+            pts_input[..., :nc_in][:, :, None, :], train
+        )[:, :, 0, :]
+        rpn_feat = pts_input[..., nc_in:]
+        merged = SharedMLP(
+            (self.xyz_up[-1],), self.use_bn, self.dtype, name="merge_down"
+        )(jnp.concatenate([xyz_feat, rpn_feat], axis=-1)[:, :, None, :], train)[:, :, 0, :]
+
+        feats = merged
+        cur_xyz = xyz
+        for i, (npt, r, ns, mlp) in enumerate(
+            zip(self.sa_npoints, self.sa_radius, self.sa_nsample, self.sa_mlps)
+        ):
+            cur_xyz, feats = SAModule(
+                npoint=None if npt == -1 else npt, radius=r, nsample=ns, mlp=mlp,
+                use_bn=self.use_bn, dtype=self.dtype, name=f"sa{i}",
+            )(cur_xyz, feats, train)
+
+        def head(x, hidden, out, name):
+            for i, c in enumerate(hidden):
+                x = nn.Dense(c, dtype=self.dtype, name=f"{name}_fc{i}")(x)
+                x = nn.relu(x)
+                if i == 0 and self.dp_ratio > 0:
+                    x = nn.Dropout(self.dp_ratio, deterministic=not train)(x)
+            return nn.Dense(out, dtype=self.dtype, name=f"{name}_out")(x)
+
+        g = feats[:, 0, :]  # group-all leaves one descriptor
+        cls = head(g, self.cls_fc, 1, "cls")[:, 0]
+        reg = head(g, self.reg_fc, RCNN_CODEC.reg_channels, "reg")
+        return cls, reg
+
+
+def pool_rcnn_inputs(
+    xyz: jnp.ndarray,  # (R, N, 3) rect-frame points
+    rpn_feats: jnp.ndarray,  # (R, N, C)
+    seg_mask: jnp.ndarray,  # (R, N)
+    rois: jnp.ndarray,  # (R, M, 7)
+    num_points: int = 512,
+    pool_extra_width: float = 1.0,
+):
+    """-> pts_input (R, M, num_points, 5 + C), empty (R, M).
+
+    Canonically transformed (centre-subtracted, yaw-rotated) as in
+    rcnn_net.py:163-190.
+    """
+    depth = jnp.linalg.norm(xyz, axis=-1) / 70.0 - 0.5
+    feats = jnp.concatenate([seg_mask[..., None], depth[..., None], rpn_feats], axis=-1)
+    grown = rois.at[..., 3:6].add(pool_extra_width * 2).at[..., 1].add(pool_extra_width)
+    pooled, empty = roipool3d(xyz, feats, grown, sampled_pts_num=num_points)
+    # canonical transform about the UN-enlarged roi
+    center = rois[..., 0:3]
+    p_xyz = pooled[..., 0:3] - center[:, :, None, :]
+    r, m = rois.shape[0], rois.shape[1]
+    p_xyz = rotate_points_along_y(
+        p_xyz.reshape(r * m, num_points, 3), rois[..., 6].reshape(r * m)
+    ).reshape(r, m, num_points, 3)
+    return jnp.concatenate([p_xyz, pooled[..., 3:]], axis=-1), empty
+
+
+def canonical_gt(rois: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """GT boxes in each roi's canonical frame (proposal_target_layer's
+    canonical transform): centre offset rotated by roi yaw, ry relative."""
+    offset = gt[..., 0:3] - rois[..., 0:3]
+    shape = offset.shape
+    off = rotate_points_along_y(
+        offset.reshape(-1, 1, 3), rois[..., 6].reshape(-1)
+    ).reshape(shape)
+    out = jnp.concatenate(
+        [off, gt[..., 3:6], (gt[..., 6] - rois[..., 6])[..., None]], axis=-1
+    )
+    return out
+
+
+def sample_rcnn_rois(
+    key: jax.Array,
+    rois: jnp.ndarray,  # (R, M, 7)
+    roi_valid: jnp.ndarray,  # (R, M)
+    gt: jnp.ndarray,  # (R, 7) one matched gt per instance
+    gt_ok: jnp.ndarray,  # (R,)
+    rois_per_instance: int = 16,
+    fg_ratio: float = 0.5,
+    reg_fg_thresh: float = 0.55,
+    cls_fg_thresh: float = 0.6,
+    cls_bg_thresh: float = 0.45,
+    cls_bg_thresh_lo: float = 0.05,
+    hard_bg_ratio: float = 0.8,
+):
+    """-> (sampled_rois (R, K, 7), cls_label (R, K), reg_mask (R, K),
+    gt_ct (R, K, 7), sampled_ok (R, K))."""
+    r, m, _ = rois.shape
+    keys = jax.random.split(key, r)
+    n_fg = int(round(rois_per_instance * fg_ratio))
+
+    def per_instance(k, roi, rv, g, gok):
+        iou = pairwise_iou3d(roi, g[None])[:, 0] * rv
+        is_fg = (iou >= reg_fg_thresh) & rv & gok
+        hard_bg = (iou >= cls_bg_thresh_lo) & (iou < cls_bg_thresh) & rv
+        easy_bg = (iou < cls_bg_thresh_lo) & rv
+        k1, k2, k3 = jax.random.split(k, 3)
+        prio = lambda kk, mask: jnp.where(mask, jax.random.uniform(kk, (m,)), -1.0)
+        # fg slots
+        _, fg_idx = jax.lax.top_k(prio(k1, is_fg), n_fg)
+        fg_cnt = jnp.minimum(jnp.sum(is_fg), n_fg)
+        # bg slots: hard first (ratio), then easy
+        n_bg = rois_per_instance - n_fg
+        n_hard = int(round(n_bg * hard_bg_ratio))
+        _, hard_idx = jax.lax.top_k(prio(k2, hard_bg), n_bg)
+        _, easy_idx = jax.lax.top_k(prio(k3, easy_bg), n_bg)
+        hard_cnt = jnp.minimum(jnp.sum(hard_bg), n_hard)
+        slot = jnp.arange(n_bg)
+        bg_idx = jnp.where(slot < hard_cnt, hard_idx, easy_idx[slot - hard_cnt])
+        bg_ok = (slot < hard_cnt) | (easy_bg[easy_idx[jnp.maximum(slot - hard_cnt, 0)]])
+        idx = jnp.concatenate([fg_idx, bg_idx])
+        ok = jnp.concatenate([jnp.arange(n_fg) < fg_cnt, bg_ok])
+        s_rois = roi[idx]
+        s_iou = iou[idx]
+        cls = jnp.where(s_iou > cls_fg_thresh, 1.0, jnp.where(s_iou < cls_bg_thresh, 0.0, -1.0))
+        reg_mask = (s_iou >= reg_fg_thresh) & ok
+        gt_ct = canonical_gt(s_rois, jnp.broadcast_to(g, s_rois[..., :7].shape))
+        return s_rois, jnp.where(ok, cls, -1.0), reg_mask, gt_ct, ok
+
+    return jax.vmap(per_instance)(keys, rois, roi_valid, gt, gt_ok)
+
+
+def rcnn_loss(
+    cls_pred: jnp.ndarray,  # (B,) raw logits
+    reg_pred: jnp.ndarray,  # (B, C)
+    cls_label: jnp.ndarray,  # (B,) {1, 0, -1}
+    reg_mask: jnp.ndarray,  # (B,)
+    gt_ct: jnp.ndarray,  # (B, 7) canonical gt
+    anchor_size: jnp.ndarray,
+):
+    p = jax.nn.sigmoid(cls_pred)
+    t = (cls_label > 0).astype(p.dtype)
+    care = (cls_label >= 0).astype(p.dtype)
+    bce = -(t * jnp.log(jnp.clip(p, 1e-12)) + (1 - t) * jnp.log(jnp.clip(1 - p, 1e-12)))
+    cls_l = jnp.sum(bce * care) / jnp.maximum(jnp.sum(care), 1.0)
+    loc, angle, size = codec.reg_loss(
+        reg_pred, gt_ct, reg_mask.astype(p.dtype), anchor_size, RCNN_CODEC
+    )
+    return cls_l + loc + angle + 3.0 * size  # size x3: rcnn_loss.py:118
+
+
+def rcnn_postprocess(
+    cls_pred: jnp.ndarray,  # (R, M)
+    reg_pred: jnp.ndarray,  # (R, M, C)
+    rois: jnp.ndarray,  # (R, M, 7)
+    roi_valid: jnp.ndarray,  # (R, M)
+    roi_scores: jnp.ndarray,  # (R, M) rpn proposal scores
+    anchor_size: jnp.ndarray,
+    score_thresh: float = 0.1,
+):
+    """-> (box3d (R, 7), score (R,), is_random (R,)).
+
+    Decodes canonically against each roi, then per instance keeps the
+    highest-scoring refined box above threshold; if none, falls back to the
+    best RPN proposal with the `random` flag set (rcnn_inference.py:66-105 +
+    point_rcnn.combine_2d_3d argmax).
+    """
+    r, m = cls_pred.shape
+    flat_rois = rois.reshape(-1, 7)
+    boxes = codec.decode(
+        flat_rois[:, 0:3], reg_pred.reshape(r * m, -1), anchor_size, RCNN_CODEC,
+        base_ry=flat_rois[:, 6],
+    ).reshape(r, m, 7)
+    norm = jax.nn.sigmoid(cls_pred)
+    ok = (norm > score_thresh) & roi_valid
+
+    def per_instance(b, s_raw, o, roi, rpn_s, rv):
+        any_ok = jnp.any(o)
+        best = jnp.argmax(jnp.where(o, s_raw, -1e10))
+        fallback = jnp.argmax(jnp.where(rv, rpn_s, -1e10))
+        box = jnp.where(any_ok, b[best], roi[fallback])
+        score = jnp.where(any_ok, s_raw[best], 0.0)
+        return box, score, ~any_ok
+
+    return jax.vmap(per_instance)(boxes, cls_pred, ok, rois, roi_scores, roi_valid)

@@ -20,6 +20,7 @@ from .losses import (
 from .nms import (
     batched_class_nms_mask,
     bev_nms_mask,
+    bev_nms_topk,
     double_view_nms_mask,
     double_view_nms_topk,
     nms_mask,

@@ -170,6 +170,40 @@ def double_view_nms_topk(
     return nms_topk(union, scores, valid, iou_thresh, k, to_remove=to_remove)
 
 
+def bev_nms_topk(
+    bev_boxes: jnp.ndarray,  # (N, 5)
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    k: int,
+    rotated: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Select-and-suppress greedy BEV NMS emitting the first k survivors:
+    O(k*N) rotated-IoU rows instead of an N^2 matrix."""
+    from .iou import pairwise_bev_iou
+
+    n = bev_boxes.shape[0]
+
+    def iou_row(j):
+        if rotated:
+            return pairwise_bev_iou(bev_boxes[j][None], bev_boxes)[0]
+        return _iou_row(bev_boxes[j, :4], bev_boxes[:, :4], 0.0)
+
+    def body(i, state):
+        alive, out_idx, out_valid = state
+        s = jnp.where(alive, scores, _NEG)
+        j = jnp.argmax(s)
+        ok = s[j] > _NEG / 2
+        row = iou_row(j)
+        kill = (row > iou_thresh) | (jnp.arange(n) == j)
+        alive = alive & jnp.where(ok, ~kill, True)
+        return alive, out_idx.at[i].set(j), out_valid.at[i].set(ok)
+
+    state = (valid, jnp.zeros(k, jnp.int32), jnp.zeros(k, bool))
+    _, out_idx, out_valid = jax.lax.fori_loop(0, k, body, state)
+    return out_idx, out_valid
+
+
 def topk_after_nms(
     keep: jnp.ndarray, scores: jnp.ndarray, k: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,121 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from disprcnn_tpu.models.pointrcnn import bbox3d_codec as codec
+from disprcnn_tpu.models.pointrcnn import lift, rcnn3d
+from disprcnn_tpu.structures.boxes3d import rotate_points_along_y
+
+
+def test_codec_decode_matches_bin_centers():
+    cfg = codec.CodecCfg(loc_scope=3.0, loc_bin_size=0.5, num_head_bin=12, xz_fine=False)
+    n = cfg.per_loc_bin_num
+    # craft logits selecting x bin 7, z bin 2, y offset 0.5, ry bin 3, sizes 0
+    pred = np.full((1, cfg.reg_channels), -10.0, np.float32)
+    pred[0, 7] = 10.0  # x bin
+    pred[0, n + 2] = 10.0  # z bin
+    off = 2 * n
+    pred[0, off] = 0.5  # y offset
+    pred[0, off + 1 + 3] = 10.0  # ry bin 3
+    pred[0, off + 1 + 12 + 3] = 0.0  # ry res
+    pred[0, -3:] = 0.0  # size residuals
+    anchor = jnp.asarray([1.5, 1.6, 3.9])
+    base = jnp.asarray([[1.0, 2.0, 10.0]])
+    out = np.asarray(codec.decode(base, jnp.asarray(pred), anchor, cfg))[0]
+    # x = bin*0.5 + 0.25 - 3 + base_x = 7*0.5+0.25-3+1 = 1.75
+    assert abs(out[0] - 1.75) < 1e-5
+    assert abs(out[2] - (2 * 0.5 + 0.25 - 3 + 10)) < 1e-5
+    assert abs(out[1] - 2.5) < 1e-5
+    np.testing.assert_allclose(out[3:6], np.asarray(anchor), rtol=1e-6)
+    # ry = bin*(2pi/12) + res = pi/2
+    assert abs(out[6] - np.pi / 2) < 1e-5
+
+
+def test_codec_encode_decode_consistency(rng):
+    """decode(argmax bins from reg_loss's implied labels) recovers the target."""
+    cfg = rcnn3d.RCNN_CODEC
+    anchor = jnp.asarray([1.5, 1.6, 3.9])
+    # gt offset within scope, ry in fine range
+    reg_label = jnp.asarray([[0.4, 0.2, -0.7, 1.6, 1.7, 4.0, 0.3]])
+    # build the "perfect" prediction: one-hot bins at label positions + exact residuals
+    n = cfg.per_loc_bin_num
+    pred = np.full((1, cfg.reg_channels), -20.0, np.float32)
+    x_shift = 0.4 + cfg.loc_scope
+    z_shift = -0.7 + cfg.loc_scope
+    xb, zb = int(x_shift / 0.5), int(z_shift / 0.5)
+    pred[0, xb] = 20
+    pred[0, n + zb] = 20
+    pred[0, 2 * n + xb] = (x_shift - (xb * 0.5 + 0.25)) / 0.5
+    pred[0, 3 * n + zb] = (z_shift - (zb * 0.5 + 0.25)) / 0.5
+    off = 4 * n
+    pred[0, off] = 0.2
+    per = (np.pi / 2) / cfg.num_head_bin
+    shift = (0.3 + np.pi * 0.5) % (2 * np.pi) - np.pi * 0.25
+    rb = int(shift / per)
+    pred[0, off + 1 + rb] = 20
+    pred[0, off + 1 + cfg.num_head_bin + rb] = (shift - (rb * per + per / 2)) / (per / 2)
+    pred[0, -3:] = (np.asarray(reg_label[0, 3:6]) - np.asarray(anchor)) / np.asarray(anchor)
+    out = np.asarray(
+        codec.decode(jnp.zeros((1, 3)), jnp.asarray(pred), anchor, cfg)
+    )[0]
+    np.testing.assert_allclose(out[:3], np.asarray(reg_label[0, :3]) * [1, 0, 1] + [0, 0.2, 0], atol=1e-5)
+    np.testing.assert_allclose(out[3:6], np.asarray(reg_label[0, 3:6]), rtol=1e-5)
+    assert abs(out[6] - 0.3) < 1e-5
+    # and the loss of this perfect prediction is ~0 for residual terms
+    loc, angle, size = codec.reg_loss(
+        jnp.asarray(pred), reg_label, jnp.ones(1), anchor, cfg
+    )
+    assert float(size) < 1e-6 and float(angle) < 1e-3
+
+
+def test_canonicalize_roundtrip(rng):
+    pts = jnp.asarray(rng.normal(size=(3, 50, 3)).astype(np.float32) * 5)
+    angles = jnp.asarray([0.3, -0.7, 1.2])
+    c, mean = lift.canonicalize(pts, angles)
+    back = lift.decanonicalize(c, angles, mean)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), rtol=1e-4, atol=1e-4)
+
+
+def test_canonicalize_boxes_roundtrip():
+    boxes = jnp.asarray([[1.0, 2.0, 15.0, 1.5, 1.6, 3.9, 0.4]])
+    angles = jnp.asarray([0.5])
+    mean = jnp.asarray([[0.5, 1.0, 14.0]])
+    c = lift.canonicalize_boxes3d(boxes, angles, mean)
+    back = lift.decanonicalize_boxes3d(c, angles, mean)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(boxes), rtol=1e-4, atol=1e-4)
+
+
+def test_rpn_point_labels():
+    box = jnp.asarray([[0.0, 1.0, 0.0, 2.0, 2.0, 4.0, 0.0]])  # bottom y=1
+    pts = jnp.asarray([[[0.0, 0.0, 0.0], [0.0, 0.0, 1.05], [5.0, 5.0, 5.0]]])
+    cls, reg = lift.rpn_point_labels(pts, box, jnp.asarray([True]))
+    cls = np.asarray(cls)[0]
+    assert cls[0] == 1  # inside
+    assert cls[1] == -1  # in the 0.2 m ignore ring (z half-extent 1.0 -> 1.2)
+    assert cls[2] == 0  # far away
+    reg = np.asarray(reg)[0, 0]
+    np.testing.assert_allclose(reg[0:3], [0.0, 0.0, 0.0], atol=1e-6)  # center - pt
+    np.testing.assert_allclose(reg[3:6], [2.0, 2.0, 4.0])
+
+
+def test_sample_fixed_points():
+    pts = jnp.asarray(np.arange(30, dtype=np.float32).reshape(1, 10, 3))
+    valid = jnp.asarray([[True, True, True, False, False, False, False, False, False, False]])
+    out, ok = lift.sample_fixed_points(jax.random.PRNGKey(0), pts, valid, 8)
+    assert bool(ok[0])
+    # all sampled points come from the 3 valid candidates
+    rows = np.asarray(out)[0]
+    valid_rows = np.asarray(pts)[0, :3]
+    for r in rows:
+        assert any(np.allclose(r, v) for v in valid_rows)
+    # empty -> ok False
+    _, ok2 = lift.sample_fixed_points(jax.random.PRNGKey(0), pts, jnp.zeros((1, 10), bool), 8)
+    assert not bool(ok2[0])
+
+
+def test_canonical_gt_zero_for_identical():
+    rois = jnp.asarray([[[1.0, 2.0, 10.0, 1.5, 1.6, 3.9, 0.7]]])
+    out = np.asarray(rcnn3d.canonical_gt(rois, rois))[0, 0]
+    np.testing.assert_allclose(out[:3], 0.0, atol=1e-6)
+    assert abs(out[6]) < 1e-6
