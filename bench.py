@@ -1,0 +1,107 @@
+"""Benchmark: end-to-end stereo pipeline throughput on one TPU chip.
+
+Runs the flagship DispRCNN 2D stereo detector (R-101-FPN, bf16, KITTI-shaped
+input) followed by the 3D stage (iDispNet PSMNet +-48 on batched 224^2 ROI
+crops -> pseudo-LiDAR -> PointRCNN) in eval mode, and reports steady-state
+stereo pairs/sec.
+
+Baseline: the reference evaluates the KITTI val split (3769 images) in ~2 min
+on 8 GPUs (docs/TRAIN_VAL.md:100) => ~3.93 pairs/sec per GPU. vs_baseline is
+our pairs/sec/chip divided by that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC_PER_GPU = 3769 / 120.0 / 8.0  # ~3.93
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from disprcnn_tpu.models.detector.disprcnn import DispRCNN
+    from disprcnn_tpu.models.detector.disprcnn3d import DispRCNN3D
+    from disprcnn_tpu.structures.stereo import StereoBoxes
+
+    h, w = 384, 1248  # standard KITTI network input resolution
+    max_det = 16
+    rng = jax.random.PRNGKey(0)
+
+    model2d = DispRCNN(
+        body="R-101",
+        pre_nms_top_n_test=6000, post_nms_top_n_test=300,
+        max_det=max_det, detections_per_img=max_det, dtype=jnp.bfloat16,
+    )
+    left = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    right = left
+    v2d = model2d.init({"params": rng, "sampling": rng}, left, right, train=False)
+
+    model3d = DispRCNN3D(
+        max_det=max_det, roi_size=224, maxdisp=48, mindisp=-48, npoints=768,
+        lift_grid=112, proposals_per_roi=64, rcnn_rois_per_instance=16,
+        rcnn_enabled=True, dtype=jnp.bfloat16,
+    )
+    calib = {
+        "fu": jnp.asarray([721.5]), "fv": jnp.asarray([721.5]),
+        "cu": jnp.asarray([w / 2.0]), "cv": jnp.asarray([h / 2.0]),
+        "tx": jnp.asarray([0.0]), "ty": jnp.asarray([0.0]),
+        "fuxb": jnp.asarray([389.6]),
+    }
+    dummy_dets = StereoBoxes(
+        left=jnp.tile(jnp.asarray([[[100.0, 150, 400, 350]]]), (1, max_det, 1)),
+        right=jnp.tile(jnp.asarray([[[80.0, 150, 380, 350]]]), (1, max_det, 1)),
+        score=jnp.ones((1, max_det)),
+        valid=jnp.ones((1, max_det), bool),
+        fields={"mask": jnp.full((1, max_det, 28, 28), 0.9)},
+    )
+    v3d = model3d.init(
+        {"params": rng, "sampling": rng}, left, right, dummy_dets, calib, train=False
+    )
+
+    @jax.jit
+    def pipeline(left, right):
+        out2d = model2d.apply(v2d, left, right, train=False)
+        dets = out2d["detections"]
+        dets = StereoBoxes(
+            left=dets.left, right=dets.right, score=dets.score, valid=dets.valid,
+            fields={"mask": out2d["masks"]},
+        )
+        out3d = model3d.apply(
+            v3d, left, right, dets, calib, train=False,
+            rngs={"sampling": jax.random.PRNGKey(7)},
+        )
+        return dets.left, dets.score, out3d["box3d"], out3d["score3d"]
+
+    # compile + warmup
+    out = pipeline(left, right)
+    jax.block_until_ready(out)
+
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = pipeline(left, right)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    pairs_per_sec = n_iter / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_pairs_per_sec_full_pipeline",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC_PER_GPU, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Config -> model construction (reference modeling/detector/detectors.py:11-14).
+
+META_ARCHITECTURE:
+- "DispRCNN" / "GeneralizedRCNN" (stereo configs always set STEREO_ON): the 2D
+  stereo detector.
+- "DispRCNN3D": the stage-2/3 model consuming offline 2D predictions.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .detector.disprcnn import DispRCNN
+from .detector.disprcnn3d import DispRCNN3D
+
+
+def _dtype(cfg):
+    return jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+
+
+def build_detection_model(cfg):
+    meta = cfg.MODEL.META_ARCHITECTURE
+    if meta in ("DispRCNN", "GeneralizedRCNN"):
+        body = cfg.MODEL.BACKBONE.CONV_BODY.replace("-FPN", "")
+        return DispRCNN(
+            body=body,
+            out_channels=cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
+            freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
+            anchor_sizes=tuple(cfg.MODEL.RPN.ANCHOR_SIZES),
+            anchor_strides=tuple(cfg.MODEL.RPN.ANCHOR_STRIDE),
+            aspect_ratios=tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+            straddle_thresh=cfg.MODEL.RPN.STRADDLE_THRESH,
+            pre_nms_top_n_train=cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN,
+            pre_nms_top_n_test=cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST,
+            post_nms_top_n_train=cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN,
+            post_nms_top_n_test=cfg.MODEL.RPN.POST_NMS_TOP_N_TEST,
+            rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
+            rpn_min_size=cfg.MODEL.RPN.MIN_SIZE,
+            rpn_fg_iou=cfg.MODEL.RPN.FG_IOU_THRESHOLD,
+            rpn_bg_iou=cfg.MODEL.RPN.BG_IOU_THRESHOLD,
+            rpn_batch_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+            rpn_positive_fraction=cfg.MODEL.RPN.POSITIVE_FRACTION,
+            num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
+            mlp_head_dim=cfg.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM,
+            box_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            box_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+            pooler_scales=tuple(cfg.MODEL.ROI_BOX_HEAD.POOLER_SCALES),
+            roi_batch_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+            roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+            roi_fg_iou=cfg.MODEL.ROI_HEADS.FG_IOU_THRESHOLD,
+            roi_bg_iou=cfg.MODEL.ROI_HEADS.BG_IOU_THRESHOLD,
+            score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH,
+            box_nms_thresh=cfg.MODEL.ROI_HEADS.NMS,
+            detections_per_img=cfg.TEST.DETECTIONS_PER_IMG,
+            max_det=cfg.TPU.MAX_DETECTIONS,
+            max_gt=cfg.TPU.MAX_GT,
+            mask_on=cfg.MODEL.MASK_ON,
+            mask_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
+            mask_sampling_ratio=cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO,
+            dtype=_dtype(cfg),
+        )
+    if meta == "DispRCNN3D":
+        return DispRCNN3D(
+            max_det=cfg.TPU.MAX_DETECTIONS,
+            roi_size=cfg.TPU.ROI_CROP_SIZE,
+            maxdisp=cfg.MODEL.DISPNET.MAX_DISP,
+            mindisp=cfg.MODEL.DISPNET.MIN_DISP,
+            npoints=cfg.MODEL.POINTRCNN.RPN.NPOINTS,
+            mask_thresh_train=0.7,
+            mask_thresh_eval=cfg.MODEL.POINTRCNN.MASK_THRESH,
+            mean_size=tuple(cfg.MODEL.POINTRCNN.MEAN_SIZE[0]),
+            rcnn_enabled=cfg.MODEL.POINTRCNN.RCNN.ENABLED,
+            rpn_fixed=cfg.MODEL.POINTRCNN.RPN.FIXED,
+            rcnn_rois_per_instance=cfg.MODEL.POINTRCNN.RCNN.ROI_PER_IMAGE,
+            dtype=_dtype(cfg),
+        )
+    raise NotImplementedError(meta)

@@ -1,0 +1,95 @@
+"""Checkpointing: orbax-backed save/load of TrainState + stage-handoff import.
+
+Reference: utils/checkpoint.py:13-148 (Checkpointer with `last_checkpoint`
+tag, optimizer/scheduler skipping), model_serialization.py:10-80 (fuzzy
+longest-suffix state-dict alignment), c2_model_loading (Caffe2 import — here
+replaced by a torch->JAX converter for the released reference weights).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    def __init__(self, directory: str, max_to_keep: int = 10):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, step: int, state) -> None:
+        self.mngr.save(step, args=ocp.args.StandardSave(state))
+        self.mngr.wait_until_finished()
+        with open(os.path.join(self.directory, "last_checkpoint"), "w") as f:
+            f.write(str(step))
+
+    def latest_step(self) -> Optional[int]:
+        return self.mngr.latest_step()
+
+    def load(self, state_template, step: Optional[int] = None,
+             load_optimizer: bool = True):
+        """Restore into the template; optionally keep the fresh optimizer
+        state (SOLVER.LOAD_OPTIMIZER=False semantics)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return state_template, 0
+        restored = self.mngr.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+        if not load_optimizer:
+            restored = restored.replace(
+                opt_state=state_template.opt_state, step=state_template.step
+            )
+        return restored, step
+
+
+def align_and_update_params(target: dict, source: dict) -> tuple[dict, list[str]]:
+    """Fuzzy parameter alignment by longest matching dotted-suffix
+    (reference model_serialization.py:10-59): tolerates module-prefix changes
+    between stages. Returns (updated tree, list of unmatched target paths)."""
+    flat_t = _flatten(target)
+    flat_s = _flatten(source)
+    unmatched = []
+    out = dict(flat_t)
+    skeys = list(flat_s.keys())
+    for tk in flat_t:
+        best, best_len = None, 0
+        for sk in skeys:
+            if tk == sk or tk.endswith("." + sk) or sk.endswith("." + tk):
+                l = min(len(tk), len(sk))
+                if l > best_len:
+                    best, best_len = sk, l
+        if best is not None and flat_s[best].shape == flat_t[tk].shape:
+            out[tk] = flat_s[best]
+        else:
+            unmatched.append(tk)
+    return _unflatten(out), unmatched
+
+
+def _flatten(tree, prefix="") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    out: dict = {}
+    for k, v in flat.items():
+        parts = k.split(".")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out

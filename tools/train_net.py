@@ -1,0 +1,129 @@
+"""Training entry point (reference tools/train_net.py:23-128).
+
+Usage: python tools/train_net.py --config-file configs/kitti/car/vob/mask.yaml
+       [KEY VALUE ...]
+
+DDP/NCCL init becomes mesh construction; the per-iteration loop is one jitted
+SPMD step; checkpoints are orbax.
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="disprcnn_tpu training")
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--max-iter", type=int, default=None, help="override for smoke runs")
+    p.add_argument("--dataset", default=None, help="override train dataset name")
+    p.add_argument("--static-hw", default="384,1248")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from disprcnn_tpu.config import get_default_cfg
+    from disprcnn_tpu.data.catalog import resolve
+    from disprcnn_tpu.data.loader import StereoBatchLoader
+    from disprcnn_tpu.data.transforms import build_transforms
+    from disprcnn_tpu.engine.trainer import create_train_state, make_train_step
+    from disprcnn_tpu.models.build import build_detection_model
+    from disprcnn_tpu.parallel.mesh import make_mesh
+    from disprcnn_tpu.solver.build import frozen_path_prefixes, make_optimizer
+    from disprcnn_tpu.solver.schedules import make_schedule
+    from disprcnn_tpu.utils.checkpoint import Checkpointer
+    from disprcnn_tpu.utils.logging import MetricLogger, setup_logger
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    if args.max_iter is not None:
+        cfg.SOLVER.MAX_ITER = args.max_iter
+    cfg.freeze()
+
+    logger = setup_logger("disprcnn_tpu", cfg.OUTPUT_DIR)
+    logger.info(f"config: {args.config_file}")
+
+    mesh = make_mesh(tuple(cfg.TPU.MESH_AXES), tuple(cfg.TPU.MESH_SHAPE))
+    n_dev = int(np.prod(mesh.devices.shape))
+    per_host_bs = max(cfg.SOLVER.IMS_PER_BATCH, n_dev)
+    logger.info(f"mesh: {mesh}, global batch {per_host_bs}")
+
+    hw = tuple(int(v) for v in args.static_hw.split(","))
+    name = args.dataset or (cfg.DATASETS.TRAIN[0] if cfg.DATASETS.TRAIN else "synthetic_64")
+    transforms = build_transforms(cfg, is_train=True)
+    ds = resolve(name, cfg, training=True, transforms=transforms)
+    loader = StereoBatchLoader(
+        ds, per_host_bs, hw, shuffle=cfg.INPUT.SHUFFLE,
+        size_divisibility=max(cfg.DATALOADER.SIZE_DIVISIBILITY, 32),
+        max_iter=cfg.SOLVER.MAX_ITER,
+    )
+
+    model = build_detection_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    sample_batch = next(iter(loader))
+    init_left = jnp.asarray(sample_batch["left"][:1])
+    variables = model.init(
+        {"params": rng, "sampling": rng}, init_left, init_left, train=False
+    )
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+    logger.info(f"model: {cfg.MODEL.META_ARCHITECTURE}, {n_params / 1e6:.1f}M params")
+
+    schedule = make_schedule(cfg)
+    tx = make_optimizer(cfg, variables["params"], schedule, frozen_path_prefixes(cfg))
+    state = create_train_state(
+        model, tx, variables, uncert_count=cfg.SOLVER.UNCERT_LOSS_WEIGHT
+    )
+    ckpt = Checkpointer(f"{cfg.OUTPUT_DIR}/ckpt")
+    state, start_iter = ckpt.load(state, load_optimizer=cfg.SOLVER.LOAD_OPTIMIZER)
+
+    step_fn = make_train_step(
+        model, tx, cfg.SOLVER.DO_GRAD_CLIP, cfg.SOLVER.GRAD_CLIP
+    )
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    state = jax.device_put(state, repl)
+    jitted = jax.jit(step_fn)
+
+    def to_device(batch):
+        out = {}
+        for k in ("left", "right", "gt_left", "gt_right", "gt_labels", "gt_valid", "gt_masks"):
+            if k in batch:
+                out[k] = jax.device_put(jnp.asarray(batch[k]), data_sh)
+        return out
+
+    meters = MetricLogger()
+    t0 = time.perf_counter()
+    for it, batch in enumerate(loader, start=start_iter):
+        state, metrics = jitted(state, to_device(batch), rng)
+        if it % cfg.SOLVER.PRINT_INTERVAL == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            meters.update(**metrics)
+            eta = (time.perf_counter() - t0) / max(it - start_iter + 1, 1) * (
+                cfg.SOLVER.MAX_ITER - it
+            )
+            logger.info(
+                f"iter {it}/{cfg.SOLVER.MAX_ITER} {meters} "
+                f"eta {datetime.timedelta(seconds=int(eta))}"
+            )
+        if it > start_iter and it % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+            ckpt.save(it, jax.device_get(state))
+    ckpt.save(cfg.SOLVER.MAX_ITER, jax.device_get(state))
+    logger.info("training done")
+
+
+if __name__ == "__main__":
+    main()
