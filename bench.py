@@ -9,12 +9,15 @@ Baseline: the reference evaluates the KITTI val split (3769 images) in ~2 min
 on 8 GPUs (docs/TRAIN_VAL.md:100) => ~3.93 pairs/sec per GPU. vs_baseline is
 our pairs/sec/chip divided by that.
 
+TPU practicalities: parameters are initialized on the CPU backend (eager init
+op-by-op over the device tunnel is slow/fragile) and a persistent compilation
+cache under .jax_cache makes re-runs start fast.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -24,11 +27,17 @@ BASELINE_PAIRS_PER_SEC_PER_GPU = 3769 / 120.0 / 8.0  # ~3.93
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from disprcnn_tpu.models.detector.disprcnn import DispRCNN
     from disprcnn_tpu.models.detector.disprcnn3d import DispRCNN3D
     from disprcnn_tpu.structures.stereo import StereoBoxes
+
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
 
     h, w = 384, 1248  # standard KITTI network input resolution
     max_det = 16
@@ -39,30 +48,42 @@ def main():
         pre_nms_top_n_test=6000, post_nms_top_n_test=300,
         max_det=max_det, detections_per_img=max_det, dtype=jnp.bfloat16,
     )
-    left = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, h, w, 3)), jnp.float32)
-    right = left
-    v2d = model2d.init({"params": rng, "sampling": rng}, left, right, train=False)
-
     model3d = DispRCNN3D(
         max_det=max_det, roi_size=224, maxdisp=48, mindisp=-48, npoints=768,
         lift_grid=112, proposals_per_roi=64, rcnn_rois_per_instance=16,
         rcnn_enabled=True, dtype=jnp.bfloat16,
     )
-    calib = {
-        "fu": jnp.asarray([721.5]), "fv": jnp.asarray([721.5]),
-        "cu": jnp.asarray([w / 2.0]), "cv": jnp.asarray([h / 2.0]),
-        "tx": jnp.asarray([0.0]), "ty": jnp.asarray([0.0]),
-        "fuxb": jnp.asarray([389.6]),
-    }
-    dummy_dets = StereoBoxes(
-        left=jnp.tile(jnp.asarray([[[100.0, 150, 400, 350]]]), (1, max_det, 1)),
-        right=jnp.tile(jnp.asarray([[[80.0, 150, 380, 350]]]), (1, max_det, 1)),
-        score=jnp.ones((1, max_det)),
-        valid=jnp.ones((1, max_det), bool),
-        fields={"mask": jnp.full((1, max_det, 28, 28), 0.9)},
-    )
-    v3d = model3d.init(
-        {"params": rng, "sampling": rng}, left, right, dummy_dets, calib, train=False
+
+    with jax.default_device(cpu):
+        left0 = jnp.zeros((1, h, w, 3), jnp.float32)
+        v2d = jax.jit(
+            lambda k, a: model2d.init({"params": k, "sampling": k}, a, a, train=False)
+        )(rng, left0)
+        calib = {
+            "fu": jnp.asarray([721.5]), "fv": jnp.asarray([721.5]),
+            "cu": jnp.asarray([w / 2.0]), "cv": jnp.asarray([h / 2.0]),
+            "tx": jnp.asarray([0.0]), "ty": jnp.asarray([0.0]),
+            "fuxb": jnp.asarray([389.6]),
+        }
+        dummy_dets = StereoBoxes(
+            left=jnp.tile(jnp.asarray([[[100.0, 150, 400, 350]]]), (1, max_det, 1)),
+            right=jnp.tile(jnp.asarray([[[80.0, 150, 380, 350]]]), (1, max_det, 1)),
+            score=jnp.ones((1, max_det)),
+            valid=jnp.ones((1, max_det), bool),
+            fields={"mask": jnp.full((1, max_det, 28, 28), 0.9)},
+        )
+        v3d = jax.jit(
+            lambda k, a, d: model3d.init(
+                {"params": k, "sampling": k}, a, a, d, calib, train=False
+            )
+        )(rng, left0, dummy_dets)
+
+    v2d = jax.device_put(v2d, dev)
+    v3d = jax.device_put(v3d, dev)
+    calib = jax.device_put(calib, dev)
+    left = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, h, w, 3)), jnp.float32),
+        dev,
     )
 
     @jax.jit
@@ -79,14 +100,13 @@ def main():
         )
         return dets.left, dets.score, out3d["box3d"], out3d["score3d"]
 
-    # compile + warmup
-    out = pipeline(left, right)
+    out = pipeline(left, left)
     jax.block_until_ready(out)
 
     n_iter = 20
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = pipeline(left, right)
+        out = pipeline(left, left)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     pairs_per_sec = n_iter / dt
