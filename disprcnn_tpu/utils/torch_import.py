@@ -1,0 +1,180 @@
+"""torch -> JAX checkpoint conversion for the reference's released weights.
+
+Reference artifacts (scripts/download/model/*): the 2D detector in
+maskrcnn-benchmark format (srcnn_pretrained_2d_mrcnn_format.pth), the PSMNet
+tar (bestmodel.pth, `module.`-prefixed), the PointRCNN checkpoints, and the
+full DispRCNN3D state dicts. This module converts tensors to the Flax
+conventions and remaps module paths:
+- Conv2d weight (O, I, kh, kw) -> kernel (kh, kw, I, O)
+- Conv3d weight (O, I, kd, kh, kw) -> kernel (kd, kh, kw, I, O)
+- ConvTranspose weight (I, O, k...) -> kernel (k..., I, O) [flax transpose]
+- Linear weight (O, I) -> kernel (I, O)
+- BatchNorm (weight, bias, running_mean, running_var) -> FrozenBatchNorm
+  {scale, bias, mean, var} or flax BN {scale, bias} + batch_stats {mean, var}.
+
+Loading uses `align_and_update_params`-style suffix matching after the
+mechanical conversion, so stage-prefix differences are tolerated
+(reference model_serialization.py:10-80 behaviour).
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict):
+        for key in ("model", "state_dict", "model_state"):
+            if key in blob and isinstance(blob[key], dict):
+                blob = blob[key]
+                break
+    out = {}
+    for k, v in blob.items():
+        if hasattr(v, "numpy"):
+            out[k.replace("module.", "")] = v.detach().cpu().numpy()
+    return out
+
+
+def convert_tensor(name: str, arr: np.ndarray, transpose_conv: bool = False):
+    """-> (flax_leaf_name, converted array)."""
+    if name.endswith(".weight"):
+        if arr.ndim == 4:
+            if transpose_conv:
+                return "kernel", arr.transpose(2, 3, 0, 1)  # (I,O,kh,kw)->(kh,kw,I,O)
+            return "kernel", arr.transpose(2, 3, 1, 0)
+        if arr.ndim == 5:
+            if transpose_conv:
+                return "kernel", arr.transpose(2, 3, 4, 0, 1)
+            return "kernel", arr.transpose(2, 3, 4, 1, 0)
+        if arr.ndim == 2:
+            return "kernel", arr.T
+        return "scale", arr  # 1-D: norm scale
+    if name.endswith(".bias"):
+        return "bias", arr
+    if name.endswith(".running_mean"):
+        return "mean", arr
+    if name.endswith(".running_var"):
+        return "var", arr
+    return name.rsplit(".", 1)[-1], arr
+
+
+def convert_state_dict(
+    sd: Dict[str, np.ndarray],
+    transpose_conv_names: Tuple[str, ...] = ("deconv", "conv5", "conv6"),
+) -> Dict[str, np.ndarray]:
+    """Mechanical tensor conversion; keys keep their dotted module paths."""
+    out = {}
+    for k, arr in sd.items():
+        is_tc = any(t in k for t in transpose_conv_names)
+        leaf, conv = convert_tensor(k, arr, transpose_conv=is_tc)
+        base = k.rsplit(".", 1)[0] if "." in k else k
+        out[f"{base}.{leaf}"] = conv
+    return out
+
+
+# -- name remapping for the released 2D detector ---------------------------
+_RESNET_MAPS = [
+    # stem
+    (re.compile(r"^(?:module\.)?backbone\.body\.stem\.conv1\."), "backbone.body.stem.conv1."),
+    (re.compile(r"^(?:module\.)?backbone\.body\.stem\.bn1\."), "backbone.body.stem.FrozenBatchNorm_0."),
+    # stages: layerN.M.convK / bnK / downsample
+    (re.compile(r"^(?:module\.)?backbone\.body\.layer(\d)\.(\d+)\.conv(\d)\."),
+     lambda m: f"backbone.body.layer{m.group(1)}_{m.group(2)}.conv{m.group(3)}."),
+    (re.compile(r"^(?:module\.)?backbone\.body\.layer(\d)\.(\d+)\.bn(\d)\."),
+     lambda m: f"backbone.body.layer{m.group(1)}_{m.group(2)}.FrozenBatchNorm_{int(m.group(3)) - 1}."),
+    (re.compile(r"^(?:module\.)?backbone\.body\.layer(\d)\.(\d+)\.downsample\.0\."),
+     lambda m: f"backbone.body.layer{m.group(1)}_{m.group(2)}.downsample_conv."),
+    (re.compile(r"^(?:module\.)?backbone\.body\.layer(\d)\.(\d+)\.downsample\.1\."),
+     lambda m: f"backbone.body.layer{m.group(1)}_{m.group(2)}.FrozenBatchNorm_3."),
+    # FPN
+    (re.compile(r"^(?:module\.)?backbone\.fpn\.fpn_inner(\d)\."),
+     lambda m: f"backbone.fpn.lateral{int(m.group(1)) + 1}."),
+    (re.compile(r"^(?:module\.)?backbone\.fpn\.fpn_layer(\d)\."),
+     lambda m: f"backbone.fpn.output{int(m.group(1)) + 1}."),
+    # stereo RPN head
+    (re.compile(r"^(?:module\.)?rpn\.head\.conv\."), "rpn_head.conv."),
+    (re.compile(r"^(?:module\.)?rpn\.head\.cls_logits\."), "rpn_head.cls_logits."),
+    (re.compile(r"^(?:module\.)?rpn\.head\.bbox_pred\."), "rpn_head.bbox_pred."),
+    # stereo box head
+    (re.compile(r"^(?:module\.)?roi_heads\.box\.feature_extractor\.RCNN_top\.0\."),
+     "box_extractor.rcnn_top0."),
+    (re.compile(r"^(?:module\.)?roi_heads\.box\.feature_extractor\.RCNN_top\.3\."),
+     "box_extractor.rcnn_top1."),
+    (re.compile(r"^(?:module\.)?roi_heads\.box\.predictor\.cls_score\."),
+     "box_predictor.cls_score."),
+    (re.compile(r"^(?:module\.)?roi_heads\.box\.predictor\.bbox_pred\."),
+     "box_predictor.bbox_pred."),
+    # mask head
+    (re.compile(r"^(?:module\.)?roi_heads\.mask\.feature_extractor\.mask_fcn(\d)\."),
+     lambda m: f"mask_head.fcn{m.group(1)}."),
+    (re.compile(r"^(?:module\.)?roi_heads\.mask\.predictor\.conv5_mask\."),
+     "mask_head.deconv."),
+    (re.compile(r"^(?:module\.)?roi_heads\.mask\.predictor\.mask_fcn_logits\."),
+     "mask_head.mask_logits."),
+]
+
+
+def remap_disprcnn2d_names(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Rename reference DispRCNN (2D) torch keys to this framework's module
+    paths (dots become the flax tree levels)."""
+    out = {}
+    for k, v in sd.items():
+        nk = k
+        for pat, repl in _RESNET_MAPS:
+            if pat.match(nk):
+                nk = pat.sub(repl, nk) if not callable(repl) else pat.sub(repl, nk)
+                break
+        out[nk] = v
+    return out
+
+
+def to_tree(flat: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for k, v in flat.items():
+        parts = k.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def split_params_frozen(tree: dict) -> tuple[dict, dict]:
+    """Separate FrozenBatchNorm subtrees (scale/bias/mean/var) into the
+    `frozen` collection; everything else stays in `params`."""
+    params, frozen = {}, {}
+
+    def walk(node, p_out, f_out):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                keys = set(v.keys())
+                if keys and keys <= {"scale", "bias", "mean", "var"} and (
+                    "mean" in keys or "var" in keys
+                ):
+                    f_out[k] = v
+                else:
+                    p_sub, f_sub = {}, {}
+                    walk(v, p_sub, f_sub)
+                    if p_sub:
+                        p_out[k] = p_sub
+                    if f_sub:
+                        f_out[k] = f_sub
+            else:
+                p_out[k] = v
+
+    walk(tree, params, frozen)
+    return params, frozen
+
+
+def import_disprcnn2d(path: str) -> tuple[dict, dict]:
+    """Released 2D checkpoint -> (params, frozen) trees in this framework's
+    naming. Combine with align_and_update_params for fuzzy remainder."""
+    sd = load_torch_state_dict(path)
+    sd = convert_state_dict(sd, transpose_conv_names=("conv5_mask",))
+    sd = remap_disprcnn2d_names(sd)
+    return split_params_frozen(to_tree(sd))
