@@ -56,6 +56,13 @@ def build_detection_model(cfg):
             mask_on=cfg.MODEL.MASK_ON,
             mask_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
             mask_sampling_ratio=cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO,
+            dispnet_on=cfg.MODEL.DISPNET_ON,
+            dispnet_maxdisp=cfg.MODEL.DISPNET.MAX_DISP,
+            dispnet_mindisp=cfg.MODEL.DISPNET.MIN_DISP,
+            dispnet_resolution=cfg.MODEL.DISPNET.RESOLUTIONS[0],
+            dispnet_disp_resolution=cfg.MODEL.DISPNET.DISP_RESOLUTIONS[0],
+            dispnet_conv_layers=tuple(cfg.MODEL.DISPNET.CONV_LAYERS),
+            dispnet_loss_weight=cfg.MODEL.DISPNET.LOSS_WEIGHT,
             dtype=_dtype(cfg),
         )
     if meta == "DispRCNN3D":

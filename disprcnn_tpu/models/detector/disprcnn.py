@@ -67,6 +67,14 @@ class DispRCNN(nn.Module):
     mask_on: bool = True
     mask_resolution: int = 14
     mask_sampling_ratio: int = 2
+    # in-framework iDispNet on FPN ROI features (MODEL.DISPNET_ON)
+    dispnet_on: bool = False
+    dispnet_maxdisp: int = 48
+    dispnet_mindisp: int = -48
+    dispnet_resolution: int = 28
+    dispnet_disp_resolution: int = 112
+    dispnet_conv_layers: Tuple[int, ...] = (256,)
+    dispnet_loss_weight: float = 1.0
     # dtype policy
     dtype: Any = jnp.float32
 
@@ -217,6 +225,25 @@ class DispRCNN(nn.Module):
                 mask_logits, dets.fields["labels"].reshape(b * d)
             )
             out["masks"] = probs.reshape(b, d, *probs.shape[1:])
+        if self.dispnet_on:
+            # in-framework iDispNet over FPN ROI features (DISPNET_ON path,
+            # reference DispRCNN forward -> DispModule)
+            from ..psmnet.dispmodule import DispModule, expand_left_right_freex
+
+            d = self.max_det
+            lb, rb = expand_left_right_freex(
+                dets.left.reshape(b * d, 4), dets.right.reshape(b * d, 4), float(img_w)
+            )
+            det_bi = jnp.repeat(jnp.arange(b, dtype=jnp.int32), d)
+            disp = DispModule(
+                maxdisp=self.dispnet_maxdisp, mindisp=self.dispnet_mindisp,
+                resolution=self.dispnet_resolution,
+                disp_resolution=self.dispnet_disp_resolution,
+                pooler_scales=self.pooler_scales,
+                conv_layers=self.dispnet_conv_layers,
+                dtype=self.dtype, name="dispnet",
+            )(lf[:-1], rf[:-1], lb, rb, det_bi, train=False)
+            out["disparity_roi"] = disp.reshape(b, d, *disp.shape[1:])
         return out
 
 

@@ -98,11 +98,29 @@ def roi_align_batched(
     spatial_scale: float = 1.0,
     sampling_ratio: int = 2,
 ) -> jnp.ndarray:
-    """ROIAlign with per-ROI batch indices -> (N, pooled, pooled, C)."""
-    s = sampling_ratio if sampling_ratio > 0 else 2
+    """ROIAlign with per-ROI batch indices -> (N, pooled, pooled, C).
 
-    def one(b, bi):
-        return _roi_align_single(features[bi], b, pooled, spatial_scale, s)
+    Rows are gathered from the (B*H, W, C) flattened map with a bi*H offset —
+    `features[bi]` inside the vmap would materialize an (N, H, W, C)
+    intermediate (gigabytes at FPN P2 with hundreds of ROIs).
+    """
+    s = sampling_ratio if sampling_ratio > 0 else 2
+    b, h, w, c = features.shape
+    flat = features.reshape(b * h, w, c)
+
+    def one(box, bi):
+        x1, y1 = box[0] * spatial_scale, box[1] * spatial_scale
+        x2, y2 = box[2] * spatial_scale, box[3] * spatial_scale
+        roi_w = jnp.maximum(x2 - x1, 1.0)
+        roi_h = jnp.maximum(y2 - y1, 1.0)
+        ys = _sample_grid_1d(y1, roi_h / pooled, pooled, s)
+        xs = _sample_grid_1d(x1, roi_w / pooled, pooled, s)
+        y0, y1i, wy0, wy1 = _interp_axis(ys, h)
+        x0, x1i, wx0, wx1 = _interp_axis(xs, w)
+        off = bi * h
+        rows = flat[off + y0] * wy0[:, None, None] + flat[off + y1i] * wy1[:, None, None]
+        vals = rows[:, x0] * wx0[None, :, None] + rows[:, x1i] * wx1[None, :, None]
+        return vals.reshape(pooled, s, pooled, s, -1).mean(axis=(1, 3))
 
     return jax.vmap(one)(boxes, batch_idx)
 
