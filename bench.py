@@ -87,7 +87,7 @@ def main():
     )
 
     @jax.jit
-    def pipeline(left, right):
+    def pipeline(v2d, v3d, left, right):
         out2d = model2d.apply(v2d, left, right, train=False)
         dets = out2d["detections"]
         dets = StereoBoxes(
@@ -100,13 +100,13 @@ def main():
         )
         return dets.left, dets.score, out3d["box3d"], out3d["score3d"]
 
-    out = pipeline(left, left)
+    out = pipeline(v2d, v3d, left, left)
     jax.block_until_ready(out)
 
     n_iter = 20
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = pipeline(left, left)
+        out = pipeline(v2d, v3d, left, left)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     pairs_per_sec = n_iter / dt

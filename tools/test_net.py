@@ -79,10 +79,10 @@ def main():
                 **({"batch_stats": state.batch_stats} if state.batch_stats else {}),
             }
 
-        apply = jax.jit(lambda l, r: model.apply(variables, l, r, train=False))
+        apply = jax.jit(lambda vv, l, r: model.apply(vv, l, r, train=False))
 
         def predict(batch):
-            out = apply(jnp.asarray(batch["left"]), jnp.asarray(batch["right"]))
+            out = apply(variables, jnp.asarray(batch["left"]), jnp.asarray(batch["right"]))
             dets = out["detections"]
             return {
                 "left_boxes": np.asarray(dets.left),
