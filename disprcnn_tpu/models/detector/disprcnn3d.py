@@ -81,6 +81,30 @@ def warp_gt_disparity_to_roi(
     return (vals - (left_crop[0] - right_crop[0])) * (size / jnp.maximum(w, 1.0))
 
 
+def remove_low_score_rois(
+    dets: StereoBoxes, min_score: float, keep_at_least: int = 2
+) -> StereoBoxes:
+    """Invalidate detections below min_score, but always keep the top
+    `keep_at_least` (reference disprcnn3d.py:192-207 remove_low_score_rois)."""
+    score = jnp.where(dets.valid, dets.score, -1.0)
+    above = score > min_score
+    order = jnp.argsort(score, axis=-1, descending=True)
+    rank = jnp.argsort(order, axis=-1)
+    keep = above | (rank < keep_at_least)
+    return dets.replace(valid=dets.valid & keep)
+
+
+def remove_illegal_detections(dets: StereoBoxes, min_wh: float = 1.0) -> StereoBoxes:
+    """Drop degenerate boxes (reference disprcnn3d.py:286-294)."""
+    ok = (
+        (dets.left[..., 2] - dets.left[..., 0] >= min_wh)
+        & (dets.left[..., 3] - dets.left[..., 1] >= min_wh)
+        & (dets.right[..., 2] - dets.right[..., 0] >= min_wh)
+        & (dets.right[..., 3] - dets.right[..., 1] >= min_wh)
+    )
+    return dets.replace(valid=dets.valid & ok)
+
+
 class DispRCNN3D(nn.Module):
     max_det: int = 32
     roi_size: int = 224
@@ -114,6 +138,7 @@ class DispRCNN3D(nn.Module):
         gt_boxes3d: Optional[jnp.ndarray] = None,  # (B, M, 7) xyzhwl_ry rect
         gt_valid: Optional[jnp.ndarray] = None,  # (B, M)
     ):
+        dets = remove_illegal_detections(dets)
         b, d = dets.left.shape[0], dets.left.shape[1]
         r = b * d
         img_h, img_w = left_img.shape[1], left_img.shape[2]

@@ -92,6 +92,40 @@ def project_corners_to_img(
     return jnp.stack([x1, y1, x2, y2], axis=-1), img[..., 2]
 
 
+def corners_from_xyzhwl_ry_velodyne(b: jnp.ndarray) -> jnp.ndarray:
+    """Velodyne-frame corners (z up): layout of bounding_box_3d.py:124-144.
+
+    Corner y in {±w/2}, z in {0, h}, x in {±l/2}; rotation
+    R_z(ry) = [[c,-s,0],[s,c,0],[0,0,1]].
+    """
+    x, y, z = b[..., 0], b[..., 1], b[..., 2]
+    h, w, l, ry = b[..., 3], b[..., 4], b[..., 5], b[..., 6]
+    zero = jnp.zeros_like(h)
+    xc = jnp.stack([-l / 2, -l / 2, l / 2, l / 2, -l / 2, -l / 2, l / 2, l / 2], -1)
+    yc = jnp.stack([w / 2, w / 2, w / 2, w / 2, -w / 2, -w / 2, -w / 2, -w / 2], -1)
+    zc = jnp.stack([zero, h, h, zero, zero, h, h, zero], -1)
+    c, s = jnp.cos(ry), jnp.sin(ry)
+    xr = c[..., None] * xc - s[..., None] * yc
+    yr = s[..., None] * xc + c[..., None] * yc
+    return jnp.stack(
+        [xr + x[..., None], yr + y[..., None], zc + z[..., None]], axis=-1
+    )
+
+
+def filter_fov_points(pts: jnp.ndarray, p2: jnp.ndarray, image_wh) -> jnp.ndarray:
+    """Mask of rect-frame points projecting inside the image with depth >= 0
+    (reference utils/kitti_utils.py:368-375 filter_fov_pts)."""
+    hom = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+    img = jnp.matmul(hom, p2.T, precision=jax.lax.Precision.HIGHEST)
+    uv = img[..., :2] / pts[..., 2:3]
+    w, h = image_wh
+    return (
+        (uv[..., 0] >= 0) & (uv[..., 0] < w)
+        & (uv[..., 1] >= 0) & (uv[..., 1] < h)
+        & (img[..., 2] - p2[2, 3] >= 0)
+    )
+
+
 def rotate_points_along_y(pts: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     """Rotate (..., N, 3) points about the camera y-axis by (...,) angles.
 

@@ -1,0 +1,100 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from disprcnn_tpu.config import get_default_cfg
+from disprcnn_tpu.engine.trainer import TrainState, create_train_state, make_train_step, total_loss
+from disprcnn_tpu.solver.build import frozen_path_prefixes, make_optimizer
+from disprcnn_tpu.solver.schedules import make_schedule, one_cycle, warmup_multistep
+
+
+def test_one_cycle_shape():
+    s = one_cycle(0.01, 1000)
+    lr0 = float(s(0))
+    lr_peak = float(s(299))  # 30% of 1000
+    lr_end = float(s(999))
+    assert abs(lr0 - 0.01 / 25) < 1e-3  # starts at max/div_factor
+    assert abs(lr_peak - 0.01) < 1e-4  # peaks at max_lr
+    assert lr_end < 1e-5  # anneals to max/(25*1e4)
+    # monotone up then down
+    ups = [float(s(i)) for i in range(0, 300, 50)]
+    downs = [float(s(i)) for i in range(300, 1000, 100)]
+    assert all(a <= b + 1e-9 for a, b in zip(ups, ups[1:]))
+    assert all(a >= b - 1e-9 for a, b in zip(downs, downs[1:]))
+
+
+def test_warmup_multistep():
+    s = warmup_multistep(0.01, steps=(100, 200), gamma=0.1, warmup_factor=1 / 3,
+                         warmup_iters=10)
+    assert abs(float(s(0)) - 0.01 / 3) < 1e-6
+    assert abs(float(s(10)) - 0.01) < 1e-6
+    assert abs(float(s(150)) - 0.001) < 1e-7
+    assert abs(float(s(250)) - 0.0001) < 1e-8
+
+
+def test_frozen_prefixes_from_cfg():
+    cfg = get_default_cfg()
+    cfg.SOLVER.FIX_BACKBONE = True
+    cfg.SOLVER.FIX_DISPARITY = True
+    assert frozen_path_prefixes(cfg) == ("backbone", "idispnet")
+
+
+def test_optimizer_freezing_and_bias_groups():
+    cfg = get_default_cfg()
+    cfg.SOLVER.OPTIMIZER = "SGD"
+    cfg.SOLVER.BIAS_LR_FACTOR = 2
+    cfg.SOLVER.WEIGHT_DECAY = 0.0
+    cfg.SOLVER.WEIGHT_DECAY_BIAS = 0.0
+    params = {
+        "backbone": {"conv": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones(3)}},
+        "head": {"dense": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones(3)}},
+    }
+    tx = make_optimizer(cfg, params, lambda s: 0.1, frozen_prefixes=("backbone",))
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # frozen subtree gets exactly zero updates
+    assert float(jnp.abs(updates["backbone"]["conv"]["kernel"]).sum()) == 0.0
+    assert float(jnp.abs(updates["backbone"]["conv"]["bias"]).sum()) == 0.0
+    # bias lr = 2x kernel lr
+    ku = float(updates["head"]["dense"]["kernel"][0, 0])
+    bu = float(updates["head"]["dense"]["bias"][0])
+    assert abs(bu / ku - 2.0) < 1e-5
+    assert abs(ku + 0.1) < 1e-6  # lr 0.1 descent
+
+
+def test_uncertainty_weighted_total_loss():
+    losses = {"loss_a": jnp.asarray(2.0), "loss_b": jnp.asarray(4.0)}
+    u = jnp.asarray([-1.0, 0.5])
+    got = float(total_loss(losses, u))
+    import math
+
+    want = (-1.0 + 0.5) + 2.0 * math.exp(1.0) + 4.0 * math.exp(-0.5)
+    assert abs(got - want) < 1e-4
+    assert float(total_loss(losses, None)) == 6.0
+
+
+def test_train_step_descends_on_toy_model():
+    import flax.linen as nn
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, x=None, y=None, train=False):
+            w = self.param("w", nn.initializers.zeros, (4,))
+            return {"loss_fit": jnp.sum((w - y) ** 2)}
+
+    model = Toy()
+    y = jnp.asarray([1.0, -2.0, 3.0, 0.5])
+    variables = model.init(jax.random.PRNGKey(0), y=y)
+    tx = optax.sgd(0.1)
+    state = create_train_state(model, tx, variables)
+    step = make_train_step(model, tx)
+    batch = {"y": y}
+    losses = []
+    for i in range(50):
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(metrics["loss_total"]))
+    assert losses[-1] < 1e-3 < losses[0]
+    assert int(state.step) == 50
