@@ -50,7 +50,7 @@ def main():
     )
     model3d = DispRCNN3D(
         max_det=max_det, roi_size=224, maxdisp=48, mindisp=-48, npoints=768,
-        lift_grid=112, proposals_per_roi=64, rcnn_rois_per_instance=16,
+        lift_grid=112, proposals_per_roi=16, rcnn_rois_per_instance=16,
         rcnn_enabled=True, dtype=jnp.bfloat16,
     )
 

@@ -117,7 +117,7 @@ class DispRCNN3D(nn.Module):
     mean_size: Tuple[float, float, float] = (1.52563191462, 1.62856739989, 3.88311640418)
     rcnn_enabled: bool = True
     rpn_fixed: bool = False
-    proposals_per_roi: int = 64
+    proposals_per_roi: int = 16
     rcnn_rois_per_instance: int = 16
     dtype: Any = jnp.float32
 

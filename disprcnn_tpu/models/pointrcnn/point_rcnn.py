@@ -25,7 +25,10 @@ class PointRCNN(nn.Module):
     rpn_use_bn: bool = True
     rpn_loss_cls: str = "BinaryCrossEntropy"
     rpn_score_thresh: float = 0.3
-    proposals_per_roi: int = 64
+    proposals_per_roi: int = 16
+    rpn_pre_nms_per_roi: int = 256  # score cap before rotated NMS (reference
+    # uses RPN_PRE_NMS_TOP_N // num_rois, typically > npoints; capping at 256
+    # bounds the rotated-IoU matrix with negligible recall impact)
     rpn_nms_thresh: float = 0.8
     rcnn_enabled: bool = True
     rcnn_num_points: int = 512
@@ -72,7 +75,8 @@ class PointRCNN(nn.Module):
         # proposals in the canonical frame, then rotate back to rect frame
         rois_c, roi_scores, prop_valid = rpn3d.propose(
             rpn_out["cls"], rpn_out["reg"], rpn_out["xyz"], anchor, self.rpn_codec,
-            pre_nms_top_n=pts.shape[1], post_nms_top_n=self.proposals_per_roi,
+            pre_nms_top_n=min(self.rpn_pre_nms_per_roi, pts.shape[1]),
+            post_nms_top_n=self.proposals_per_roi,
             nms_thresh=self.rpn_nms_thresh,
         )
         r, m = rois_c.shape[0], rois_c.shape[1]

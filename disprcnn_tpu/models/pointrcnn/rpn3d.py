@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ...ops.iou import boxes3d_to_bev
 from ...ops.losses import dice_loss, sigmoid_focal_loss_binary
-from ...ops.nms import bev_nms_topk
+from ...ops.nms import bev_nms_mask, topk_after_nms
 from . import bbox3d_codec as codec
 from .pointnet2 import Pointnet2MSG
 
@@ -133,10 +133,13 @@ def propose(
         k = min(pre_nms_top_n, scores.shape[0])
         top_s, top_i = jax.lax.top_k(scores, k)
         b = boxes[top_i]
-        idx, ok = bev_nms_topk(
-            boxes3d_to_bev(b), top_s, jnp.ones(k, bool), nms_thresh,
-            post_nms_top_n, rotated=True,
+        # one-shot pairwise rotated-IoU matrix + cheap greedy loop: computing
+        # IoU rows inside the suppression loop makes the TPU compile and run
+        # pathologically (vertex enumeration re-lowered per step)
+        keep = bev_nms_mask(
+            boxes3d_to_bev(b), top_s, jnp.ones(k, bool), nms_thresh, rotated=True
         )
+        idx, ok = topk_after_nms(keep, top_s, post_nms_top_n)
         return b[idx], top_s[idx], ok
 
     return jax.vmap(per_roi)(cls_pred, reg_pred, xyz)

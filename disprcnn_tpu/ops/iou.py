@@ -118,18 +118,26 @@ def rotated_rect_intersection_area(bev_a: jnp.ndarray, bev_b: jnp.ndarray) -> jn
     centroid = jnp.sum(pts * okf, axis=-2) / jnp.maximum(nv, 1)[..., None]
 
     ang = jnp.arctan2(pts[..., 1] - centroid[..., None, 1], pts[..., 0] - centroid[..., None, 0])
-    ang = jnp.where(ok, ang, jnp.inf)  # invalid slots sort last
-    order = jnp.argsort(ang, axis=-1)
-    sorted_pts = jnp.take_along_axis(pts, order[..., None], axis=-2)
-
-    # pad tail slots with the last valid point so their cross terms vanish
-    idx = jnp.minimum(
-        jnp.arange(24), jnp.maximum(nv[..., None] - 1, 0)
+    big = jnp.asarray(1e9, ang.dtype)
+    ang = jnp.where(ok, ang, big)  # invalid slots order last
+    # TPU-friendly ordering: XLA's variadic sort is very slow at this batch
+    # scale (millions of 24-element rows), so compute each element's rank by
+    # comparison counting (24x24 VPU compares) and permute via a one-hot
+    # matmul instead of argsort+gather.
+    i_idx = jnp.arange(24)
+    less = (ang[..., None, :] < ang[..., :, None]) | (
+        (ang[..., None, :] == ang[..., :, None]) & (i_idx[None, :] < i_idx[:, None])
     )
-    ring = jnp.take_along_axis(sorted_pts, idx[..., None], axis=-2)
-    nxt = jnp.roll(ring, -1, axis=-2)
-    cross = ring[..., 0] * nxt[..., 1] - ring[..., 1] * nxt[..., 0]
-    area = 0.5 * jnp.abs(jnp.sum(cross, axis=-1))
+    rank = jnp.sum(less, axis=-1)  # (..., 24) strict total order; invalid last
+    # shoelace via ring adjacency: points i -> j are consecutive iff
+    # rank_j == (rank_i + 1) mod n_valid. Pure elementwise + reduction — fuses
+    # on TPU without materializing per-pair permutation matrices.
+    nv_safe = jnp.maximum(nv, 1)[..., None, None]
+    succ = (rank[..., :, None] + 1) % nv_safe == rank[..., None, :]
+    adj = succ & ok[..., :, None] & ok[..., None, :]
+    x, y = pts[..., 0], pts[..., 1]
+    cross = x[..., :, None] * y[..., None, :] - y[..., :, None] * x[..., None, :]
+    area = 0.5 * jnp.abs(jnp.sum(jnp.where(adj, cross, 0.0), axis=(-2, -1)))
     return jnp.where(nv >= 3, area, 0.0)
 
 

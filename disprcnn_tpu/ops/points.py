@@ -82,8 +82,10 @@ def ball_query(
         d2 = _sqdist(centers, pts)  # (M, N)
         mask = d2 < radius * radius
         order_key = jnp.where(mask, jnp.arange(n)[None, :], n)
-        # ascending sort moves in-radius indices (by index order) to the front
-        cand = jnp.sort(order_key, axis=-1)[:, :nsample]
+        # first nsample in-radius indices in scan order: top_k of the negated
+        # key (k << N, far cheaper than a full sort)
+        neg, _ = jax.lax.top_k(-order_key, nsample)
+        cand = -neg
         cnt = jnp.minimum(jnp.sum(mask, axis=-1), nsample)  # (M,)
         first = cand[:, :1]
         slot_valid = jnp.arange(nsample)[None, :] < cnt[:, None]
