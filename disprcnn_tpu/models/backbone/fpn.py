@@ -74,16 +74,22 @@ class ResNetFPNBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from .resnet import ResNet
+        if self.body.startswith("FBNet"):
+            from .fbnet import FBNet
 
-        cs = ResNet(
-            body=self.body,
-            use_gn=self.use_gn_body,
-            freeze_at=self.freeze_at,
-            stride_in_1x1=self.stride_in_1x1,
-            dtype=self.dtype,
-            name="body",
-        )(x)
+            arch = self.body.split("-")[1] if "-" in self.body else "default"
+            cs = FBNet(arch=arch, dtype=self.dtype, name="body")(x)
+        else:
+            from .resnet import ResNet
+
+            cs = ResNet(
+                body=self.body,
+                use_gn=self.use_gn_body,
+                freeze_at=self.freeze_at,
+                stride_in_1x1=self.stride_in_1x1,
+                dtype=self.dtype,
+                name="body",
+            )(x)
         return FPN(
             out_channels=self.out_channels,
             use_gn=self.use_gn_fpn,
