@@ -95,7 +95,9 @@ def make_train_step(
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
-            batch_stats=new_bn if new_bn is not None else state.batch_stats,
+            # guard: an empty mutated collection (e.g. BN in eval mode under
+            # mutable=['batch_stats']) must not clobber the real stats
+            batch_stats=new_bn if new_bn else state.batch_stats,
             opt_state=new_opt,
             uncert=new_uncert,
         )
