@@ -206,7 +206,8 @@ static void tpScores(const std::vector<Obj> &gt, const std::vector<Obj> &det,
     for (size_t di = 0; di < det.size(); di++) {
       if (c.iDet[di] == -1 || assigned[di]) continue;
       double ov = overlap(m, det[di], gt[gi]);
-      if (ov >= thr && (best < 0 || det[di].score > det[best].score)) best = (int)di;
+      // devkit !compute_fp pass: max score among overlap > thr
+      if (ov > thr && (best < 0 || det[di].score > det[best].score)) best = (int)di;
     }
     if (best >= 0) {
       assigned[best] = true;
@@ -227,13 +228,16 @@ static Stat statsAt(const std::vector<Obj> &gt, const std::vector<Obj> &det,
     if (c.iGt[gi] == -1) continue;
     int best = -1;
     bool bestIgnored = false;
+    double maxOv = 0.0;
     for (size_t di = 0; di < det.size(); di++) {
       if (c.iDet[di] == -1 || assigned[di] || det[di].score < scoreT) continue;
       double ov = overlap(m, det[di], gt[gi]);
-      if (ov < thr) continue;
-      if (c.iDet[di] == 0 &&
-          (best < 0 || bestIgnored || det[di].score > det[best].score)) {
+      if (ov <= thr) continue;
+      // devkit compute_fp pass: prefer non-ignored dets by MAX OVERLAP
+      // (not score); fall back to an ignored det only when none chosen.
+      if (c.iDet[di] == 0 && (ov > maxOv || bestIgnored)) {
         best = (int)di;
+        maxOv = ov;
         bestIgnored = false;
       } else if (c.iDet[di] == 1 && best < 0) {
         best = (int)di;

@@ -71,6 +71,7 @@ class KittiStereoDataset:
         split: str,  # e.g. "train", "val"
         category: str = "car",
         max_gt: int = 32,
+        max_det: int = 32,
         mask_size: int = 28,
         training: bool = True,
         transforms=None,
@@ -83,14 +84,31 @@ class KittiStereoDataset:
         self.category = category
         self.classes = CLASS_FILTERS[category]
         self.max_gt = max_gt
+        self.max_det = max_det
         self.mask_size = mask_size
         self.training = training
         self.transforms = transforms
         self.shape_prior_base = shape_prior_base
-        self.offline_2d = offline_2d_predictions
+        # Stage handoff (reference kitti_car.py:51-57): either a directory of
+        # per-image pickles (tools/split_predictions.py output) or one
+        # predictions.pkl keyed by imgid. "%s" expands to the split name.
+        o2d = offline_2d_predictions
+        if o2d and "%s" in o2d:
+            o2d = o2d % split
+        if o2d and not os.path.isdir(o2d) and not o2d.endswith(".pkl"):
+            o2d = o2d + ".pkl"  # reference appends '.pth' the same way
+        self.offline_2d = o2d or None
+        self._o2d_cache: Optional[dict] = None
+        if self.offline_2d and self.offline_2d.endswith(".pkl"):
+            with open(self.offline_2d, "rb") as f:
+                self._o2d_cache = pickle.load(f)
         ids = load_split(root, f"{split}_set" if not split.endswith("_set") else split)
         if filter_empty and training:
             ids = [i for i in ids if self._annotations(i)]
+        if self.offline_2d and training:
+            # drop images with no usable offline detections
+            # (kitti_car.py:64-78 filter_empty over o2dpreds)
+            ids = [i for i in ids if self._load_offline(i) is not None]
         self.ids = ids
 
     def __len__(self):
@@ -127,6 +145,66 @@ class KittiStereoDataset:
             arr = np.asarray(Image.open(path), np.float32)
             return arr / 256.0
         return np.zeros(shape, np.float32)
+
+    def _load_offline(self, imgid: str) -> Optional[dict]:
+        """Per-image offline 2D predictions (kitti_car.py:271-273 semantics):
+        dict with left_boxes/right_boxes/scores/labels/valid/masks as written
+        by engine.inference + tools/split_predictions.py. None if absent or
+        empty."""
+        if not self.offline_2d:
+            return None
+        if self._o2d_cache is not None:
+            pred = self._o2d_cache.get(imgid)
+        else:
+            path = os.path.join(self.offline_2d, f"{imgid}.pkl")
+            if not os.path.exists(path):
+                return None
+            with open(path, "rb") as f:
+                pred = pickle.load(f)
+        if pred is None:
+            return None
+        valid = np.asarray(
+            pred.get("valid", np.ones(len(pred["scores"]), bool))
+        ).astype(bool)
+        if not valid.any():
+            return None
+        return pred
+
+    def _offline_sample(self, imgid: str) -> Dict[str, np.ndarray]:
+        """Padded (max_det, ...) arrays from the offline predictions."""
+        d = self.max_det
+        out = {
+            "pred_left": np.zeros((d, 4), np.float32),
+            "pred_right": np.zeros((d, 4), np.float32),
+            "pred_score": np.zeros((d,), np.float32),
+            "pred_labels": np.zeros((d,), np.int32),
+            "pred_valid": np.zeros((d,), bool),
+        }
+        pred = self._load_offline(imgid)
+        if pred is None:
+            out["pred_mask"] = np.zeros((d, self.mask_size, self.mask_size), np.float32)
+            return out
+        valid = np.asarray(
+            pred.get("valid", np.ones(len(pred["scores"]), bool))
+        ).astype(bool)
+        idx = np.nonzero(valid)[0][:d]
+        n = len(idx)
+        out["pred_left"][:n] = np.asarray(pred["left_boxes"])[idx]
+        out["pred_right"][:n] = np.asarray(pred["right_boxes"])[idx]
+        out["pred_score"][:n] = np.asarray(pred["scores"])[idx]
+        labels = np.asarray(pred.get("labels", np.ones(len(valid))))
+        out["pred_labels"][:n] = labels[idx]
+        out["pred_valid"][:n] = True
+        masks = np.asarray(pred.get("masks", None), np.float32)
+        if masks is not None and masks.ndim >= 3 and masks.size:
+            if masks.ndim == 4:  # (D, 1, M, M) class-indexed probs
+                masks = masks[:, 0]
+            m = masks.shape[-1]
+            out["pred_mask"] = np.zeros((d, m, m), np.float32)
+            out["pred_mask"][:n] = masks[idx]
+        else:
+            out["pred_mask"] = np.zeros((d, self.mask_size, self.mask_size), np.float32)
+        return out
 
     def _load_masks(self, imgid: str, n: int, shape) -> np.ndarray:
         """Instance masks from the pseudo-GT dump (pickle fallback for zarr)."""
@@ -186,6 +264,8 @@ class KittiStereoDataset:
             "P2": calib.P2.astype(np.float32),
             "P3": calib.P3.astype(np.float32),
         }
+        if self.offline_2d:
+            sample.update(self._offline_sample(imgid))
         if self.transforms is not None:
             sample = self.transforms(sample)
         return sample

@@ -22,6 +22,8 @@ class SyntheticStereoDataset:
         baseline: float = 0.54,
         seed: int = 0,
         transforms=None,
+        with_offline_preds: bool = False,
+        mask_size: int = 28,
     ):
         self.n = n_samples
         self.hw = image_hw
@@ -31,6 +33,10 @@ class SyntheticStereoDataset:
         self.baseline = baseline
         self.seed = seed
         self.transforms = transforms
+        # emit pred_* keys (jittered GT) so DispRCNN3D configs can run
+        # without a prior 2D stage
+        self.with_offline_preds = with_offline_preds
+        self.mask_size = mask_size
 
     def __len__(self):
         return self.n
@@ -107,6 +113,26 @@ class SyntheticStereoDataset:
                 [[self.fu, 0, cu, -fuxb], [0, self.fu, cv, 0], [0, 0, 1, 0]], np.float32
             ),
         }
+        if self.with_offline_preds:
+            d = self.max_gt
+            m = self.mask_size
+            jit = rng.uniform(-2.0, 2.0, (d, 4)).astype(np.float32)
+            sample["pred_left"] = (gt_left + jit * valid[:, None]).astype(np.float32)
+            sample["pred_right"] = (gt_right + jit * valid[:, None]).astype(np.float32)
+            sample["pred_score"] = np.where(valid, 0.95, 0.0).astype(np.float32)
+            sample["pred_labels"] = labels.copy()
+            sample["pred_valid"] = valid.copy()
+            pm = np.zeros((d, m, m), np.float32)
+            for i in range(n_obj):
+                x1, y1, x2, y2 = sample["pred_left"][i]
+                ys = np.clip(
+                    (y1 + (np.arange(m) + 0.5) / m * (y2 - y1)).astype(int), 0, h - 1
+                )
+                xs_ = np.clip(
+                    (x1 + (np.arange(m) + 0.5) / m * (x2 - x1)).astype(int), 0, w - 1
+                )
+                pm[i] = masks[i][np.ix_(ys, xs_)]
+            sample["pred_mask"] = pm
         if self.transforms is not None:
             sample = self.transforms(sample)
         return sample

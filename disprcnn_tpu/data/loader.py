@@ -35,6 +35,8 @@ class StereoBatchLoader:
         start_iter: int = 0,
         num_shards: int = 1,
         shard_id: int = 0,
+        pad_last: bool = False,  # eval: wrap the final partial batch (the
+        # duplicate imgids collapse in the per-image prediction dict)
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -46,6 +48,7 @@ class StereoBatchLoader:
         self.start_iter = start_iter
         self.num_shards = num_shards
         self.shard_id = shard_id
+        self.pad_last = pad_last
 
     def _index_stream(self) -> Iterator[int]:
         epoch = 0
@@ -84,6 +87,11 @@ class StereoBatchLoader:
         if "raw_left" in samples[0]:
             batch["raw_left"] = self._pad_images([s["raw_left"] for s in samples])
             batch["raw_right"] = self._pad_images([s["raw_right"] for s in samples])
+        # offline 2D predictions (stage 2/3 input)
+        for k in ("pred_left", "pred_right", "pred_score", "pred_labels",
+                  "pred_valid", "pred_mask"):
+            if k in samples[0]:
+                batch[k] = np.stack([s[k] for s in samples])
         if "gt_masks" in samples[0]:
             m = np.zeros((len(samples), samples[0]["gt_masks"].shape[0], h, w), np.float32)
             for i, s in enumerate(samples):
@@ -111,7 +119,9 @@ class StereoBatchLoader:
         while True:
             idxs = list(itertools.islice(stream, self.bs))
             if len(idxs) < self.bs:
-                return
+                if not (self.pad_last and idxs):
+                    return
+                idxs = idxs + [idxs[0]] * (self.bs - len(idxs))
             yield self._collate([self.ds[int(i)] for i in idxs])
             it += 1
             if self.max_iter is not None and it >= self.max_iter:

@@ -51,6 +51,11 @@ class Resize:
         scale = np.asarray([rx, ry, rx, ry], np.float32)
         out["gt_left"] = sample["gt_left"] * scale
         out["gt_right"] = sample["gt_right"] * scale
+        # offline 2D predictions follow the resize like targets
+        # (reference kitti_car.py:102-106: lp.resize(targets['left'].size))
+        for key in ("pred_left", "pred_right"):
+            if key in sample:
+                out[key] = sample[key] * scale
         if "gt_masks" in sample and sample["gt_masks"].size:
             out["gt_masks"] = np.stack(
                 [_resize_img(m, (nh, nw)) for m in sample["gt_masks"]]
@@ -101,6 +106,11 @@ class RandomHorizontalFlip:
 
         out["gt_left"] = flip_boxes(sample["gt_right"])
         out["gt_right"] = flip_boxes(sample["gt_left"])
+        if "pred_left" in sample:
+            out["pred_left"] = flip_boxes(sample["pred_right"])
+            out["pred_right"] = flip_boxes(sample["pred_left"])
+            if "pred_mask" in sample:
+                out["pred_mask"] = sample["pred_mask"][:, :, ::-1].copy()
         if "gt_masks" in sample and sample["gt_masks"].size:
             out["gt_masks"] = sample["gt_masks"][:, :, ::-1].copy()
         if "gt_disp" in sample:

@@ -39,6 +39,31 @@ def compute_on_dataset(
     return results
 
 
+def merge_predictions_across_hosts(local: Dict[str, dict]) -> Dict[str, dict]:
+    """Merge per-host prediction shards into the full dict on every host
+    (reference engine/inference.py:253-272 pickle all_gather, rebuilt as
+    fixed-shape array gathers: per-image dicts are stacked per key, gathered
+    with process_allgather, and re-keyed by the gathered integer ids)."""
+    import jax
+
+    from ..parallel.multihost import all_gather_predictions
+
+    if jax.process_count() == 1 or not local:
+        return local
+    ids = sorted(local.keys())
+    keys = sorted(local[ids[0]].keys())
+    stacked = {k: np.stack([local[i][k] for i in ids]) for k in keys}
+    # imgids travel as integers (KITTI ids are numeric strings)
+    width = max(len(i) for i in ids)
+    stacked["_imgid"] = np.asarray([int(i) for i in ids], np.int64)
+    merged = all_gather_predictions(stacked)
+    out = {}
+    for row, iid in enumerate(merged["_imgid"]):
+        imgid = str(int(iid)).zfill(width)
+        out[imgid] = {k: merged[k][row] for k in keys}
+    return out
+
+
 def inference(
     predict_fn,
     loader,
@@ -48,6 +73,10 @@ def inference(
     evaluator=None,
     logger=None,
 ):
+    import jax
+
+    from ..parallel.multihost import is_main_process, synchronize
+
     logger = logger or setup_logger("disprcnn_tpu.inference", output_folder or "")
     cache = os.path.join(output_folder, "predictions.pkl") if output_folder else None
     if cache and os.path.exists(cache) and not force_recompute:
@@ -62,7 +91,9 @@ def inference(
             f"total inference time {total:.1f}s "
             f"({total / max(len(predictions), 1):.3f} s/img per device)"
         )
-        if cache:
+        synchronize()
+        predictions = merge_predictions_across_hosts(predictions)
+        if cache and is_main_process():
             os.makedirs(output_folder, exist_ok=True)
             with open(cache, "wb") as f:
                 pickle.dump(predictions, f)

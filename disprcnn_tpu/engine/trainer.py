@@ -25,6 +25,7 @@ class TrainState:
     batch_stats: Any  # trainable-BN running stats
     opt_state: Any
     uncert: Optional[jnp.ndarray] = None  # learned uncertainty loss weights
+    uncert_opt_state: Any = None  # optimizer state for the uncert vector
 
 
 def total_loss(losses: Dict[str, jnp.ndarray], uncert: Optional[jnp.ndarray]):
@@ -43,6 +44,7 @@ def make_train_step(
     do_grad_clip: bool = False,
     grad_clip: float = 1.0,
     apply_kwargs: Optional[dict] = None,
+    uncert_tx: Optional[optax.GradientTransformation] = None,
 ) -> Callable:
     """Returns step(state, batch, rng) -> (state, metrics).
 
@@ -88,9 +90,14 @@ def make_train_step(
 
         updates, new_opt = tx.update(gparams, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_uncert = state.uncert
+        new_uncert, new_uopt = state.uncert, state.uncert_opt_state
         if guncert is not None:
-            new_uncert = state.uncert - 1e-3 * guncert  # plain SGD on uncert
+            # uncert weights are ordinary parameters in the reference's
+            # optimizer param groups (solver/build.py:10-35): same optimizer,
+            # same LR/momentum schedule
+            utx = uncert_tx if uncert_tx is not None else optax.sgd(1e-3)
+            uupd, new_uopt = utx.update(guncert, state.uncert_opt_state, state.uncert)
+            new_uncert = optax.apply_updates(state.uncert, uupd)
 
         new_state = state.replace(
             step=state.step + 1,
@@ -100,6 +107,7 @@ def make_train_step(
             batch_stats=new_bn if new_bn else state.batch_stats,
             opt_state=new_opt,
             uncert=new_uncert,
+            uncert_opt_state=new_uopt,
         )
         metrics = {"loss_total": loss, **losses}
         return new_state, metrics
@@ -108,14 +116,25 @@ def make_train_step(
 
 
 def create_train_state(
-    model, tx: optax.GradientTransformation, variables: dict, uncert_count: int = 0
+    model,
+    tx: optax.GradientTransformation,
+    variables: dict,
+    uncert_count: int = 0,
+    uncert_tx: Optional[optax.GradientTransformation] = None,
 ) -> TrainState:
     params = variables["params"]
+    uncert = jnp.full((uncert_count,), -1.0) if uncert_count else None
+    if uncert is not None:
+        utx = uncert_tx if uncert_tx is not None else optax.sgd(1e-3)
+        uncert_opt_state = utx.init(uncert)
+    else:
+        uncert_opt_state = None
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         frozen=variables.get("frozen", {}),
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
-        uncert=(jnp.full((uncert_count,), -1.0) if uncert_count else None),
+        uncert=uncert,
+        uncert_opt_state=uncert_opt_state,
     )

@@ -187,13 +187,14 @@ def _tp_scores(gts, dets, ignored_gt, ignored_det, metric, thresh):
     for gi, g in enumerate(gts):
         if ignored_gt[gi] != 0:
             continue
-        best, best_ov = -1, thresh
+        best = -1
         for di, d in enumerate(dets):
             if ignored_det[di] == -1 or assigned[di]:
                 continue
             ov = fn(d, g)
-            if ov >= best_ov and (best == -1 or d.score > dets[best].score):
-                best, best_ov = di, best_ov  # devkit: max score among >= thresh
+            # devkit !compute_fp pass: max score among overlap > thresh
+            if ov > thresh and (best == -1 or d.score > dets[best].score):
+                best = di
         if best >= 0:
             assigned[best] = True
             scores.append(dets[best].score)
@@ -209,19 +210,17 @@ def _stats_at(gts, dets, ignored_gt, dontcare, ignored_det, metric, thresh, scor
     for gi, g in enumerate(gts):
         if ignored_gt[gi] == -1:
             continue
-        best, best_ov, best_ignored = -1, thresh, False
+        best, max_ov, best_ignored = -1, 0.0, False
         for di, d in enumerate(dets):
             if ignored_det[di] == -1 or assigned[di] or d.score < score_t:
                 continue
             ov = fn_metric(d, g)
-            if ov >= best_ov:
-                if ignored_det[di] == 0 and (
-                    best == -1 or best_ignored or d.score > dets[best].score
-                ):
-                    if best == -1 or best_ignored or d.score > dets[best].score:
-                        best, best_ignored = di, False
-                elif ignored_det[di] == 1 and best == -1:
-                    best, best_ignored = di, True
+            # devkit compute_fp pass: prefer non-ignored dets by MAX OVERLAP
+            # (not score); fall back to an ignored det only when none chosen.
+            if ov > thresh and ignored_det[di] == 0 and (ov > max_ov or best_ignored):
+                best, max_ov, best_ignored = di, ov, False
+            elif ov > thresh and best == -1 and ignored_det[di] == 1:
+                best, best_ignored = di, True
         if best == -1 and ignored_gt[gi] == 0:
             fn += 1
         elif best >= 0 and (ignored_gt[gi] == 1 or best_ignored):

@@ -66,6 +66,14 @@ def build_detection_model(cfg):
             dtype=_dtype(cfg),
         )
     if meta == "DispRCNN3D":
+        if cfg.SOLVER.TRAIN_PSM:
+            max_roi_train = cfg.MODEL.DISPNET.MAX_ROI_FOR_TRAINING
+        elif cfg.SOLVER.TRAIN_PC:
+            max_roi_train = cfg.MODEL.PCNET.MAX_ROI_FOR_TRAINING
+        else:
+            max_roi_train = 0
+        # every shipped config writes MEAN_SIZE as (h, w, l) — the codec order
+        mean_size = tuple(cfg.MODEL.POINTRCNN.MEAN_SIZE[0])
         return DispRCNN3D(
             max_det=cfg.TPU.MAX_DETECTIONS,
             roi_size=cfg.TPU.ROI_CROP_SIZE,
@@ -74,10 +82,16 @@ def build_detection_model(cfg):
             npoints=cfg.MODEL.POINTRCNN.RPN.NPOINTS,
             mask_thresh_train=0.7,
             mask_thresh_eval=cfg.MODEL.POINTRCNN.MASK_THRESH,
-            mean_size=tuple(cfg.MODEL.POINTRCNN.MEAN_SIZE[0]),
+            mean_size=mean_size,
+            det3d_on=cfg.MODEL.DET3D_ON,
             rcnn_enabled=cfg.MODEL.POINTRCNN.RCNN.ENABLED,
             rpn_fixed=cfg.MODEL.POINTRCNN.RPN.FIXED,
             rcnn_rois_per_instance=cfg.MODEL.POINTRCNN.RCNN.ROI_PER_IMAGE,
+            roi_min_score=cfg.MODEL.DISPNET.ROI_MIN_SCORE,
+            max_roi_train=max_roi_train,
+            sa_npoints=tuple(cfg.MODEL.POINTRCNN.RPN.SA_CONFIG.NPOINTS),
+            rpn_loss_cls=cfg.MODEL.POINTRCNN.RPN.LOSS_CLS,
+            rpn_score_thresh=cfg.MODEL.POINTRCNN.RPN.SCORE_THRESH,
             dtype=_dtype(cfg),
         )
     raise NotImplementedError(meta)

@@ -89,6 +89,8 @@ class DispRCNN(nn.Module):
         gt_labels: Optional[jnp.ndarray] = None,  # (B, M)
         gt_valid: Optional[jnp.ndarray] = None,  # (B, M)
         gt_masks: Optional[jnp.ndarray] = None,  # (B, M, H, W)
+        train_psm: bool = False,  # SOLVER.TRAIN_PSM: supervise DispModule
+        gt_disp: Optional[jnp.ndarray] = None,  # (B, H, W) full GT disparity
     ):
         b, img_h, img_w, _ = left.shape
         backbone = ResNetFPNBackbone(
@@ -197,6 +199,49 @@ class DispRCNN(nn.Module):
                 out["loss_mask"] = mh.mask_loss(
                     mask_logits, rois_flat.left, labels_f, pos_f, gm, mg
                 )
+            if self.dispnet_on and train_psm and gt_disp is not None:
+                # In-framework iDispNet training on FPN ROI features
+                # (reference DispRCNN forward TRAIN_PSM branch ->
+                # DispModule.forward + its deep-supervised masked loss,
+                # dispmodule.py:232-271): supervise on the POSITIVE sampled
+                # ROIs (label==1 subsample_result semantics).
+                from ..psmnet.dispmodule import DispModule, expand_left_right_freex
+                from .disprcnn3d import warp_gt_disparity_to_roi
+
+                dlb, drb = expand_left_right_freex(
+                    rois_flat.left, rois_flat.right, float(img_w)
+                )
+                dres = self.dispnet_disp_resolution
+                p1, p2, p3 = DispModule(
+                    maxdisp=self.dispnet_maxdisp, mindisp=self.dispnet_mindisp,
+                    resolution=self.dispnet_resolution, disp_resolution=dres,
+                    pooler_scales=self.pooler_scales,
+                    conv_layers=self.dispnet_conv_layers,
+                    dtype=self.dtype, name="dispnet",
+                )(lf[:-1], rf[:-1], dlb, drb, batch_idx, train=True)
+                tgt = jax.vmap(
+                    lambda bi, l_, r_: warp_gt_disparity_to_roi(
+                        gt_disp[bi], l_, r_, dres
+                    )
+                )(batch_idx, dlb, drb)
+                if gt_masks is not None:
+                    gmask = _gt_mask_on_roi(gt_masks, flat(roi_meta["matched_gt"]),
+                                            batch_idx, dlb, dres)
+                else:
+                    gmask = jnp.ones(tgt.shape, bool)
+                m = (
+                    gmask
+                    & (tgt > self.dispnet_mindisp)
+                    & (tgt < self.dispnet_maxdisp)
+                    & pos_f[:, None, None]
+                ).astype(p3.dtype)
+                denom = jnp.maximum(jnp.sum(m), 1.0)
+                loss = 0.0
+                for w_, p_ in zip((0.5, 0.7, 1.0), (p1, p2, p3)):
+                    ax = jnp.abs(p_ - tgt)
+                    sl1 = jnp.where(ax < 1.0, 0.5 * ax * ax, ax - 0.5)
+                    loss = loss + w_ * jnp.sum(sl1 * m) / denom
+                out["loss_psm"] = self.dispnet_loss_weight * loss
             out["proposals"] = proposals
             return out
 
@@ -245,6 +290,32 @@ class DispRCNN(nn.Module):
             )(lf[:-1], rf[:-1], lb, rb, det_bi, train=False)
             out["disparity_roi"] = disp.reshape(b, d, *disp.shape[1:])
         return out
+
+
+def _gt_mask_on_roi(
+    gt_masks: jnp.ndarray,  # (B, M, H, W) full-image instance masks
+    matched_gt: jnp.ndarray,  # (R,) per-ROI matched GT index
+    batch_idx: jnp.ndarray,  # (R,)
+    boxes: jnp.ndarray,  # (R, 4)
+    size: int,
+) -> jnp.ndarray:
+    """Sample the matched GT instance mask on each ROI's pixel grid ->
+    (R, size, size) bool (DispModule.prepare_target mask warping)."""
+    from ..pointrcnn import lift
+
+    b, m_, h, w = gt_masks.shape
+    flat_masks = gt_masks.reshape(b * m_, h, w)
+    gidx = batch_idx * m_ + jnp.clip(matched_gt, 0, m_ - 1)
+
+    def one(gi, bx):
+        mk = flat_masks[gi]
+        gy = bx[1] + (jnp.arange(size) + 0.5) / size * (bx[3] - bx[1]) - 0.5
+        gx = bx[0] + (jnp.arange(size) + 0.5) / size * (bx[2] - bx[0]) - 0.5
+        yy = jnp.broadcast_to(gy[:, None], (size, size))
+        xx = jnp.broadcast_to(gx[None, :], (size, size))
+        return lift._bilinear(mk, yy, xx) > 0.5
+
+    return jax.vmap(one)(gidx, boxes)
 
 
 def _compact_sampled(

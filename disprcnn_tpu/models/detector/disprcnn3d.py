@@ -114,11 +114,17 @@ class DispRCNN3D(nn.Module):
     lift_grid: int = 112
     mask_thresh_train: float = 0.7
     mask_thresh_eval: float = 0.5
+    roi_min_score: float = 0.05  # DISPNET.ROI_MIN_SCORE (train-path filter)
+    max_roi_train: int = 0  # MAX_ROI_FOR_TRAINING; 0 = keep all max_det
     mean_size: Tuple[float, float, float] = (1.52563191462, 1.62856739989, 3.88311640418)
+    det3d_on: bool = True  # MODEL.DET3D_ON: run the PointRCNN stage at all
     rcnn_enabled: bool = True
     rpn_fixed: bool = False
     proposals_per_roi: int = 16
     rcnn_rois_per_instance: int = 16
+    sa_npoints: Tuple[int, ...] = (768, 512, 256, 64)  # rpn.yaml:15 SA_CONFIG
+    rpn_loss_cls: str = "BinaryCrossEntropy"
+    rpn_score_thresh: float = 0.3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -139,6 +145,20 @@ class DispRCNN3D(nn.Module):
         gt_valid: Optional[jnp.ndarray] = None,  # (B, M)
     ):
         dets = remove_illegal_detections(dets)
+        if train:
+            # train path filters low-score ROIs (keep >= 2) and caps the ROI
+            # budget (reference disprcnn3d.py:215, 222-235): in fixed-shape
+            # form the cap is a static top-K slice by score.
+            dets = remove_low_score_rois(dets, self.roi_min_score)
+            if self.max_roi_train and self.max_roi_train < dets.left.shape[1]:
+                k = self.max_roi_train
+
+                def topk_one(dv: StereoBoxes) -> StereoBoxes:
+                    score = jnp.where(dv.valid, dv.score, -1.0)
+                    _, idx = jax.lax.top_k(score, k)
+                    return dv.take(idx, dv.valid[idx])
+
+                dets = jax.vmap(topk_one)(dets)
         b, d = dets.left.shape[0], dets.left.shape[1]
         r = b * d
         img_h, img_w = left_img.shape[1], left_img.shape[2]
@@ -183,14 +203,22 @@ class DispRCNN3D(nn.Module):
             out["loss_psm"] = loss
         out["disparity_roi"] = disp_roi
 
-        if not (self.rcnn_enabled or train_pc) and not train:
+        run_3d = self.det3d_on and (train_pc if train else True)
+        if not run_3d:
             return out
 
         # ---- pseudo-LiDAR lift ----
+        # The reference builds the point clouds from DETACHED disparity
+        # (point_rcnn.py process_input operates on stored fields; the 3D
+        # losses never train the iDispNet — only loss_psm does). Backprop
+        # through the disp->depth 1/x and the masked candidate machinery is
+        # also numerically unsafe (NaN cotangents on masked-out lanes).
+        disp_lift = jax.lax.stop_gradient(disp_roi)
+        masks = jax.lax.stop_gradient(masks)
         g = lambda k: calib[k][batch_idx]
         mask_thresh = self.mask_thresh_train if train else self.mask_thresh_eval
         pts_cand, cand_ok = lift.roi_points_candidates(
-            disp_roi, masks, left_b, right_b,
+            disp_lift, masks, left_b, right_b,
             g("fu"), g("fv"), g("cu"), g("cv"), g("tx"), g("ty"), g("fuxb"),
             grid=self.lift_grid, mask_thresh=mask_thresh,
             min_depth=0.0, max_depth=160.0,
@@ -221,6 +249,8 @@ class DispRCNN3D(nn.Module):
             npoints=self.npoints, mean_size=self.mean_size,
             rcnn_enabled=self.rcnn_enabled, proposals_per_roi=self.proposals_per_roi,
             rcnn_rois_per_instance=self.rcnn_rois_per_instance,
+            sa_npoints=self.sa_npoints, rpn_loss_cls=self.rpn_loss_cls,
+            rpn_score_thresh=self.rpn_score_thresh,
             dtype=self.dtype, name="pointrcnn",
         )
         pr_out = prcnn(

@@ -152,16 +152,18 @@ class Hourglass(nn.Module):
         out = nn.relu(ConvBN(p2, 3, 1, dims=3, dtype=self.dtype)(out, train))
 
         # torch ConvTranspose3d(k=3, s=2, p=1, output_padding=1) doubles each
-        # spatial dim; flax 'SAME' reproduces the output geometry
+        # spatial dim with (lo, hi) = (1, 2) effective padding; flax 'SAME'
+        # pads (2, 1), which shifts the upsampled volume by one voxel relative
+        # to the presqu/postsqu skip additions — so pad explicitly.
         up1 = nn.ConvTranspose(
-            p2, (3, 3, 3), strides=(2, 2, 2), padding="SAME",
+            p2, (3, 3, 3), strides=(2, 2, 2), padding=[(1, 2)] * 3,
             use_bias=False, dtype=self.dtype,
         )(out)
         up1 = _bn(train)(up1)
         post = nn.relu(up1 + (presqu if presqu is not None else pre))  # 1/8
 
         up2 = nn.ConvTranspose(
-            self.planes, (3, 3, 3), strides=(2, 2, 2), padding="SAME",
+            self.planes, (3, 3, 3), strides=(2, 2, 2), padding=[(1, 2)] * 3,
             use_bias=False, dtype=self.dtype,
         )(post)
         up2 = _bn(train)(up2)

@@ -55,8 +55,14 @@ def make_optimizer(
     params,
     schedule: Callable,
     frozen_prefixes: tuple[str, ...] = (),
+    momentum_schedule: Optional[Callable] = None,
 ):
-    """-> optax.GradientTransformation implementing the reference's groups."""
+    """-> optax.GradientTransformation implementing the reference's groups.
+
+    `momentum_schedule` cycles SGD momentum inversely to the OneCycle LR
+    (reference lr_scheduler.py:218-227, cycle_momentum=True for every shipped
+    config); pass schedules.make_momentum_schedule(cfg).
+    """
     s = cfg.SOLVER
     bias_mask = jax.tree_util.tree_map_with_path(lambda p, _: _is_bias(p), params)
     nonbias_mask = jax.tree_util.tree_map(lambda b: not b, bias_mask)
@@ -67,14 +73,19 @@ def make_optimizer(
         return optax.masked(optax.add_decayed_weights(amount), mask)
 
     if s.OPTIMIZER == "SGD":
-        core = optax.trace(decay=s.MOMENTUM)
+        if momentum_schedule is not None:
+            core = optax.inject_hyperparams(optax.trace)(decay=momentum_schedule)
+        else:
+            core = optax.trace(decay=s.MOMENTUM)
     elif s.OPTIMIZER == "Adam":
-        core = optax.scale_by_adam()
+        if momentum_schedule is not None:
+            core = optax.inject_hyperparams(optax.scale_by_adam)(b1=momentum_schedule)
+        else:
+            core = optax.scale_by_adam()
     else:
         raise NotImplementedError(s.OPTIMIZER)
 
     bias_factor = float(s.BIAS_LR_FACTOR)
-    lr_scale = jax.tree_util.tree_map(lambda b: bias_factor if b else 1.0, bias_mask)
 
     tx = optax.chain(
         wd(s.WEIGHT_DECAY, nonbias_mask),

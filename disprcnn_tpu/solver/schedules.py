@@ -65,6 +65,26 @@ def one_cycle(
     return schedule
 
 
+def one_cycle_momentum(
+    total_steps: int,
+    pct_start: float = 0.3,
+    base_momentum: float = 0.85,
+    max_momentum: float = 0.95,
+):
+    """Momentum cycled inversely to the OneCycle LR (lr_scheduler.py:125-132,
+    218-227): max -> base over the ramp-up, base -> max over the anneal."""
+    step_up = float(total_steps * pct_start)
+    step_down = float(total_steps - step_up)
+
+    def schedule(step):
+        it = jnp.asarray(step, jnp.float32) + 1.0
+        up = annealing_cos(max_momentum, base_momentum, it / step_up)
+        down = annealing_cos(base_momentum, max_momentum, (it - step_up) / step_down)
+        return jnp.where(it / total_steps <= pct_start, up, down)
+
+    return schedule
+
+
 def constant(base_lr: float):
     return lambda step: jnp.asarray(base_lr, jnp.float32)
 
@@ -80,3 +100,12 @@ def make_schedule(cfg):
     if s.SCHEDULER == "ConstantScheduler":
         return constant(s.BASE_LR)
     raise NotImplementedError(s.SCHEDULER)
+
+
+def make_momentum_schedule(cfg):
+    """None unless OneCycle (which cycles momentum by default in the
+    reference, cycle_momentum=True at lr_scheduler.py:131)."""
+    s = cfg.SOLVER
+    if s.SCHEDULER == "OneCycleScheduler":
+        return one_cycle_momentum(s.MAX_ITER)
+    return None

@@ -50,6 +50,41 @@ class Checkpointer:
         return restored, step
 
 
+def load_stage_weights(variables: dict, weight: str) -> dict:
+    """Resolve cfg.MODEL.WEIGHT for stage handoff
+    (reference DetectronCheckpointer.load + scripts/car/vob/train_rcnn.sh:1-9
+    ckpt copying): `weight` is either a previous stage's orbax checkpoint
+    directory or a released torch .pth; parameters are merged into
+    `variables` by fuzzy suffix alignment."""
+    if weight.endswith((".pth", ".pkl", ".tar")):
+        from .torch_import import import_disprcnn2d
+
+        src_params, src_frozen = import_disprcnn2d(weight)
+    else:
+        mngr = ocp.CheckpointManager(os.path.abspath(weight))
+        step = mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {weight}")
+        raw = mngr.restore(step)
+        src_params = raw.get("params", {})
+        src_frozen = raw.get("frozen", {})
+
+    out = dict(variables)
+    params, unmatched = align_and_update_params(variables["params"], src_params)
+    out["params"] = params
+    if src_frozen and variables.get("frozen"):
+        frozen, _ = align_and_update_params(variables["frozen"], src_frozen)
+        out["frozen"] = frozen
+    if unmatched:
+        import logging
+
+        logging.getLogger("disprcnn_tpu").info(
+            f"load_stage_weights({weight}): {len(unmatched)} target params "
+            f"not found (kept init), e.g. {unmatched[:5]}"
+        )
+    return out
+
+
 def align_and_update_params(target: dict, source: dict) -> tuple[dict, list[str]]:
     """Fuzzy parameter alignment by longest matching dotted-suffix
     (reference model_serialization.py:10-59): tolerates module-prefix changes

@@ -43,13 +43,17 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 def convert_tensor(name: str, arr: np.ndarray, transpose_conv: bool = False):
     """-> (flax_leaf_name, converted array)."""
     if name.endswith(".weight"):
+        # torch ConvTranspose computes correlation with a spatially FLIPPED
+        # kernel relative to flax ConvTranspose(transpose_kernel=False), so the
+        # spatial axes must be reversed before the layout transpose (verified
+        # numerically: without the flip a 2x2/s2 deconv import errs by ~0.9).
         if arr.ndim == 4:
             if transpose_conv:
-                return "kernel", arr.transpose(2, 3, 0, 1)  # (I,O,kh,kw)->(kh,kw,I,O)
+                return "kernel", arr[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)  # (I,O,kh,kw)->(kh,kw,I,O)
             return "kernel", arr.transpose(2, 3, 1, 0)
         if arr.ndim == 5:
             if transpose_conv:
-                return "kernel", arr.transpose(2, 3, 4, 0, 1)
+                return "kernel", arr[:, :, ::-1, ::-1, ::-1].transpose(2, 3, 4, 0, 1)
             return "kernel", arr.transpose(2, 3, 4, 1, 0)
         if arr.ndim == 2:
             return "kernel", arr.T

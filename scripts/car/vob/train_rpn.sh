@@ -1,0 +1,14 @@
+#!/bin/bash
+# Stage 3: PointRCNN 3D RPN training (reference scripts/car/vob/train_rpn.sh):
+# 1) run the idispnet-stage inference to refresh the offline predictions
+#    (boxes+masks pass through; instance disparity is recomputed in-model by
+#    the rpn/rcnn configs' idispnet weights, so it is not stored offline),
+# 2) train the 3D RPN initialized from the idispnet checkpoint.
+set -e
+cd "$(dirname "$0")/../../.."
+python tools/test_net.py --config-file configs/kitti/car/vob/idispnet.yaml \
+    --dataset kitti_train_vob_car $IDISP_ARGS
+python tools/test_net.py --config-file configs/kitti/car/vob/idispnet.yaml \
+    --dataset kitti_val_vob_car $IDISP_ARGS
+python tools/train_net.py --config-file configs/kitti/car/vob/rpn.yaml \
+    "$@" MODEL.WEIGHT models/kitti/car/vob/idispnet/ckpt

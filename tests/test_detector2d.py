@@ -3,6 +3,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model XLA CPU compiles (>1 min each)
+
 from disprcnn_tpu.models.detector.disprcnn import DispRCNN
 from disprcnn_tpu.models.rpn import box_coder
 from disprcnn_tpu.models.rpn.anchors import AnchorGenerator, cell_anchors

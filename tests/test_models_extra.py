@@ -3,6 +3,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model XLA CPU compiles (>1 min each)
+
 from disprcnn_tpu.models.detector.generalized_rcnn import GeneralizedRCNN
 from disprcnn_tpu.models.psmnet.dispmodule import DispModule, expand_left_right_freex, roi_resolution_keep
 from disprcnn_tpu.models.psmnet.inference import rois_to_fullimage_disparity

@@ -3,6 +3,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model XLA CPU compiles (>1 min each)
+
 from disprcnn_tpu.models.pointrcnn import bbox3d_codec as codec
 from disprcnn_tpu.models.pointrcnn import lift, rcnn3d
 from disprcnn_tpu.structures.boxes3d import rotate_points_along_y

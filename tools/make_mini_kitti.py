@@ -1,0 +1,119 @@
+"""Generate a synthetic mini-KITTI on disk, in the real KITTI file layout.
+
+Produces everything the staged pipeline reads (reference data layout,
+docs/TRAIN_VAL.md + kitti_car.py loaders):
+  <root>/object/training/{image_2,image_3}/%06d.png        stereo pair
+  <root>/object/training/{label_2,label_3}/%06d.txt        KITTI labels
+  <root>/object/training/calib/%06d.txt                    P0..P3/R0/Tr lines
+  <root>/object/training/disparity_vob/%06d.png            16-bit disp*256
+  <root>/object/training/mask_2_vob/%06d.pkl               instance masks
+  <root>/object/split_set/{train,val,trainval}_set.txt
+
+Scenes come from data.datasets.synthetic.SyntheticStereoDataset, so GT boxes,
+disparity and 3D boxes are exact by construction — the 4-stage recipe can run
+end-to-end without real KITTI data (VERDICT round-1 item 2).
+
+Usage: python tools/make_mini_kitti.py --root data/mini_kitti --n-train 16 --n-val 8
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def write_calib(path: str, fu, cu, cv, fuxb):
+    p2 = f"P2: {fu} 0 {cu} 0 0 {fu} {cv} 0 0 0 1 0"
+    p3 = f"P3: {fu} 0 {cu} {-fuxb} 0 {fu} {cv} 0 0 0 1 0"
+    r0 = "R0_rect: 1 0 0 0 1 0 0 0 1"
+    tr = "Tr_velo_to_cam: 0 -1 0 0 0 0 -1 0 1 0 0 0"
+    with open(path, "w") as f:
+        f.write("\n".join([
+            "P0: " + p2.split(": ")[1], "P1: " + p2.split(": ")[1],
+            p2, p3, r0, tr, "Tr_imu_to_velo: " + tr.split(": ")[1],
+        ]) + "\n")
+
+
+def write_labels(path: str, boxes2d, boxes3d, valid, cls="Car"):
+    lines = []
+    for b, b3, v in zip(boxes2d, boxes3d, valid):
+        if not v:
+            continue
+        x, y, z, h, w, l, ry = (float(q) for q in b3)
+        alpha = ry + np.arctan2(-x, z)
+        lines.append(
+            f"{cls} 0.00 0 {alpha:.2f} "
+            f"{b[0]:.2f} {b[1]:.2f} {b[2]:.2f} {b[3]:.2f} "
+            f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} {ry:.2f}"
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default="data/mini_kitti")
+    p.add_argument("--n-train", type=int, default=16)
+    p.add_argument("--n-val", type=int, default=8)
+    p.add_argument("--image-hw", default="192,640")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    from PIL import Image
+
+    from disprcnn_tpu.data.datasets.synthetic import SyntheticStereoDataset
+
+    hw = tuple(int(v) for v in args.image_hw.split(","))
+    n = args.n_train + args.n_val
+    ds = SyntheticStereoDataset(
+        n_samples=n, image_hw=hw, max_gt=8, seed=args.seed
+    )
+
+    tr = os.path.join(args.root, "object", "training")
+    for sub in ("image_2", "image_3", "label_2", "label_3", "calib",
+                "disparity_vob", "mask_2_vob"):
+        os.makedirs(os.path.join(tr, sub), exist_ok=True)
+    os.makedirs(os.path.join(args.root, "object", "split_set"), exist_ok=True)
+
+    for idx in range(n):
+        s = ds[idx]
+        imgid = f"{idx:06d}"
+        for key, sub in (("left", "image_2"), ("right", "image_3")):
+            Image.fromarray((s[key] * 255).astype(np.uint8)).save(
+                os.path.join(tr, sub, f"{imgid}.png")
+            )
+        c = s["calib"]
+        write_calib(os.path.join(tr, "calib", f"{imgid}.txt"),
+                    float(c["fu"]), float(c["cu"]), float(c["cv"]), float(c["fuxb"]))
+        write_labels(os.path.join(tr, "label_2", f"{imgid}.txt"),
+                     s["gt_left"], s["gt_box3d"], s["gt_valid"])
+        write_labels(os.path.join(tr, "label_3", f"{imgid}.txt"),
+                     s["gt_right"], s["gt_box3d"], s["gt_valid"])
+        disp16 = np.clip(s["gt_disp"] * 256.0, 0, 65535).astype(np.uint16)
+        Image.fromarray(disp16, mode="I;16").save(
+            os.path.join(tr, "disparity_vob", f"{imgid}.png")
+        )
+        masks = s["gt_masks"][s["gt_valid"]]
+        with open(os.path.join(tr, "mask_2_vob", f"{imgid}.pkl"), "wb") as f:
+            pickle.dump(masks.astype(np.uint8), f)
+
+    ids = [f"{i:06d}" for i in range(n)]
+    splits = {
+        "train": ids[: args.n_train],
+        "val": ids[args.n_train:],
+        "trainval": ids,
+    }
+    for name, sub_ids in splits.items():
+        with open(os.path.join(args.root, "object", "split_set",
+                               f"{name}_set.txt"), "w") as f:
+            f.write("\n".join(sub_ids) + "\n")
+    print(f"mini-KITTI with {n} scenes at {args.root}")
+
+
+if __name__ == "__main__":
+    main()

@@ -2,6 +2,13 @@
 
 Usage: python tools/test_net.py --config-file configs/... [--ckpt DIR]
        [--no_force_recompute] [KEY VALUE ...]
+
+Dispatches on MODEL.META_ARCHITECTURE:
+- DispRCNN: 2D stereo detections + masks -> predictions.pkl (the offline-2D
+  handoff consumed by stage 2/3 via tools/split_predictions.py).
+- DispRCNN3D: full 3-stage pipeline; predictions gain box3d/score3d and the
+  KITTI txt carries 3D fields so AP-BEV/AP-3D are computable
+  (reference engine/inference.py:215-352 + kitti_eval.py write_txt).
 """
 from __future__ import annotations
 
@@ -19,13 +26,39 @@ def parse_args():
     p.add_argument("--no_force_recompute", action="store_true")
     p.add_argument("--dataset", default=None)
     p.add_argument("--static-hw", default="384,1248")
+    p.add_argument("--evaluate", action="store_true",
+                   help="run the KITTI AP evaluator on the written txt")
+    p.add_argument("--gt-dir", default=None, help="label dir for --evaluate")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu for smoke runs)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args()
+
+
+def load_eval_variables(model, init_kwargs, static_kwargs, ckpt_dir, rng):
+    """Init the model then overwrite params from an orbax checkpoint dir."""
+    import jax
+    import numpy as np
+
+    from disprcnn_tpu.utils.checkpoint import load_stage_weights
+
+    def init_fn(rngs, kw):
+        return model.init(rngs, train=False, **static_kwargs, **kw)
+
+    variables = jax.jit(init_fn)({"params": rng, "sampling": rng}, init_kwargs)
+    variables = jax.tree.map(np.asarray, variables)
+    if ckpt_dir:
+        variables = load_stage_weights(variables, ckpt_dir)
+    return variables
 
 
 def main():
     args = parse_args()
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
     import numpy as np
 
@@ -33,10 +66,10 @@ def main():
     from disprcnn_tpu.data.catalog import resolve
     from disprcnn_tpu.data.loader import StereoBatchLoader
     from disprcnn_tpu.data.transforms import build_transforms
+    from disprcnn_tpu.engine.batching import make_batch_converter
     from disprcnn_tpu.engine.inference import inference
-    from disprcnn_tpu.evaluation.kitti_eval import write_kitti_txt
+    from disprcnn_tpu.evaluation.kitti_eval import evaluate_kitti, write_kitti_txt
     from disprcnn_tpu.models.build import build_detection_model
-    from disprcnn_tpu.utils.checkpoint import Checkpointer
     from disprcnn_tpu.utils.logging import setup_logger
 
     cfg = get_default_cfg()
@@ -47,51 +80,71 @@ def main():
     logger = setup_logger("disprcnn_tpu.test", cfg.OUTPUT_DIR)
 
     hw = tuple(int(v) for v in args.static_hw.split(","))
-    names = list(cfg.DATASETS.TEST) or [args.dataset or "synthetic_16"]
-    if args.dataset:
-        names = [args.dataset]
-    transforms = build_transforms(cfg, is_train=False)
+    names = [args.dataset] if args.dataset else (
+        list(cfg.DATASETS.TEST) or ["synthetic_16"]
+    )
 
+    transforms = build_transforms(cfg, is_train=False)
     model = build_detection_model(cfg)
+    convert, static_kwargs = make_batch_converter(cfg)
+    meta = cfg.MODEL.META_ARCHITECTURE
     rng = jax.random.PRNGKey(0)
+    ckpt_dir = args.ckpt or (
+        f"{cfg.OUTPUT_DIR}/ckpt"
+        if os.path.exists(f"{cfg.OUTPUT_DIR}/ckpt/last_checkpoint") else None
+    )
 
     for name in names:
         ds = resolve(name, cfg, training=False, transforms=transforms)
         loader = StereoBatchLoader(
             ds, max(cfg.TEST.IMS_PER_BATCH, 1), hw, shuffle=False,
             size_divisibility=max(cfg.DATALOADER.SIZE_DIVISIBILITY, 32),
+            num_shards=jax.process_count(), shard_id=jax.process_index(),
+            pad_last=True,
         )
         sample = next(iter(loader))
-        init_left = jnp.asarray(sample["left"][:1])
-        variables = model.init(
-            {"params": rng, "sampling": rng}, init_left, init_left, train=False
-        )
-        if args.ckpt:
-            ckpt = Checkpointer(args.ckpt)
-            from disprcnn_tpu.engine.trainer import TrainState
+        init_kwargs = convert(sample, train=False)
+        variables = load_eval_variables(model, init_kwargs, static_kwargs, ckpt_dir, rng)
 
-            # restore params-only view
-            state, _ = ckpt.load(
-                type("S", (), {})() if False else _state_template(variables), None, True
+        apply = jax.jit(
+            lambda vv, kw: model.apply(
+                vv, train=False, rngs={"sampling": rng}, **static_kwargs, **kw
             )
-            variables = {
-                "params": state.params, "frozen": state.frozen,
-                **({"batch_stats": state.batch_stats} if state.batch_stats else {}),
-            }
+        )
 
-        apply = jax.jit(lambda vv, l, r: model.apply(vv, l, r, train=False))
-
-        def predict(batch):
-            out = apply(variables, jnp.asarray(batch["left"]), jnp.asarray(batch["right"]))
-            dets = out["detections"]
-            return {
-                "left_boxes": np.asarray(dets.left),
-                "right_boxes": np.asarray(dets.right),
-                "scores": np.asarray(dets.score),
-                "valid": np.asarray(dets.valid),
-                "labels": np.asarray(dets.fields["labels"]),
-                "masks": np.asarray(out.get("masks", np.zeros(1))),
-            }
+        if meta in ("DispRCNN", "GeneralizedRCNN"):
+            def predict(batch):
+                out = apply(variables, convert(batch, train=False))
+                dets = out["detections"]
+                pred = {
+                    "left_boxes": np.asarray(dets.left),
+                    "right_boxes": np.asarray(dets.right),
+                    "scores": np.asarray(dets.score),
+                    "valid": np.asarray(dets.valid),
+                    "labels": np.asarray(dets.fields["labels"]),
+                }
+                if "masks" in out:
+                    pred["masks"] = np.asarray(out["masks"])
+                return pred
+        else:  # DispRCNN3D: full pipeline, keep the 2D boxes + 3D outputs
+            def predict(batch):
+                out = apply(variables, convert(batch, train=False))
+                valid = batch["pred_valid"]
+                if "roi_ok" in out:
+                    valid = valid & np.asarray(out["roi_ok"])
+                pred = {
+                    "left_boxes": batch["pred_left"],
+                    "right_boxes": batch["pred_right"],
+                    "scores": batch["pred_score"],
+                    "labels": batch["pred_labels"],
+                    "masks": batch["pred_mask"],  # stage handoff keeps masks
+                    "valid": valid,
+                }
+                if "box3d" in out:
+                    pred["box3d"] = np.asarray(out["box3d"], np.float32)
+                    pred["score3d"] = np.asarray(out["score3d"], np.float32)
+                    pred["random3d"] = np.asarray(out.get("random", np.zeros(1)))
+                return pred
 
         out_dir = os.path.join(cfg.OUTPUT_DIR, "inference", name)
         preds = inference(
@@ -100,21 +153,10 @@ def main():
         )
         txt_dir = write_kitti_txt(preds, out_dir)
         logger.info(f"wrote KITTI txt to {txt_dir}")
-
-
-def _state_template(variables):
-    import jax.numpy as jnp
-
-    from disprcnn_tpu.engine.trainer import TrainState
-
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
-        frozen=variables.get("frozen", {}),
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state={},
-        uncert=None,
-    )
+        if args.evaluate and args.gt_dir:
+            results = evaluate_kitti(args.gt_dir, txt_dir, out_dir)
+            for thr, res in results.items():
+                logger.info(f"AP@{thr}: {res}")
 
 
 if __name__ == "__main__":

@@ -3,8 +3,11 @@
 Usage: python tools/train_net.py --config-file configs/kitti/car/vob/mask.yaml
        [KEY VALUE ...]
 
-DDP/NCCL init becomes mesh construction; the per-iteration loop is one jitted
-SPMD step; checkpoints are orbax.
+Dispatches on MODEL.META_ARCHITECTURE: DispRCNN (2D stage) batches are
+(images + padded GT); DispRCNN3D (stage 2/3) batches additionally carry the
+offline 2D predictions, calibration and 3D GT (engine/batching.py). DDP/NCCL
+init becomes mesh construction; the per-iteration loop is one jitted SPMD
+step; checkpoints are orbax.
 """
 from __future__ import annotations
 
@@ -22,6 +25,8 @@ def parse_args():
     p.add_argument("--max-iter", type=int, default=None, help="override for smoke runs")
     p.add_argument("--dataset", default=None, help="override train dataset name")
     p.add_argument("--static-hw", default="384,1248")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu for smoke runs)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args()
 
@@ -29,21 +34,26 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
     import numpy as np
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from disprcnn_tpu.config import get_default_cfg
-    from disprcnn_tpu.data.catalog import resolve
+    from disprcnn_tpu.data.catalog import resolve_many
     from disprcnn_tpu.data.loader import StereoBatchLoader
     from disprcnn_tpu.data.transforms import build_transforms
+    from disprcnn_tpu.engine.batching import make_batch_converter
     from disprcnn_tpu.engine.trainer import create_train_state, make_train_step
     from disprcnn_tpu.models.build import build_detection_model
     from disprcnn_tpu.parallel.mesh import make_mesh
     from disprcnn_tpu.solver.build import frozen_path_prefixes, make_optimizer
-    from disprcnn_tpu.solver.schedules import make_schedule
-    from disprcnn_tpu.utils.checkpoint import Checkpointer
+    from disprcnn_tpu.solver.schedules import make_momentum_schedule, make_schedule
+    from disprcnn_tpu.utils.checkpoint import Checkpointer, load_stage_weights
     from disprcnn_tpu.utils.logging import MetricLogger, setup_logger
 
     cfg = get_default_cfg()
@@ -63,9 +73,11 @@ def main():
     logger.info(f"mesh: {mesh}, global batch {per_host_bs}")
 
     hw = tuple(int(v) for v in args.static_hw.split(","))
-    name = args.dataset or (cfg.DATASETS.TRAIN[0] if cfg.DATASETS.TRAIN else "synthetic_64")
+    names = [args.dataset] if args.dataset else (
+        list(cfg.DATASETS.TRAIN) or ["synthetic_64"]
+    )
     transforms = build_transforms(cfg, is_train=True)
-    ds = resolve(name, cfg, training=True, transforms=transforms)
+    ds = resolve_many(names, cfg, training=True, transforms=transforms)
     loader = StereoBatchLoader(
         ds, per_host_bs, hw, shuffle=cfg.INPUT.SHUFFLE,
         size_divisibility=max(cfg.DATALOADER.SIZE_DIVISIBILITY, 32),
@@ -73,25 +85,44 @@ def main():
     )
 
     model = build_detection_model(cfg)
+    convert, static_kwargs = make_batch_converter(cfg)
     rng = jax.random.PRNGKey(0)
     sample_batch = next(iter(loader))
-    init_left = jnp.asarray(sample_batch["left"][:1])
-    variables = model.init(
-        {"params": rng, "sampling": rng}, init_left, init_left, train=False
-    )
+    init_kwargs = convert(sample_batch, train=True)
+
+    def init_fn(rngs, kw):
+        return model.init(rngs, train=True, **static_kwargs, **kw)
+
+    variables = jax.jit(init_fn)({"params": rng, "sampling": rng}, init_kwargs)
+    variables = jax.tree.map(np.asarray, variables)  # host copy for surgery
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
     logger.info(f"model: {cfg.MODEL.META_ARCHITECTURE}, {n_params / 1e6:.1f}M params")
 
+    if cfg.MODEL.WEIGHT:
+        variables = load_stage_weights(variables, cfg.MODEL.WEIGHT)
+        logger.info(f"initialized from {cfg.MODEL.WEIGHT}")
+
     schedule = make_schedule(cfg)
-    tx = make_optimizer(cfg, variables["params"], schedule, frozen_path_prefixes(cfg))
+    tx = make_optimizer(
+        cfg, variables["params"], schedule, frozen_path_prefixes(cfg),
+        momentum_schedule=make_momentum_schedule(cfg),
+    )
+    # learned uncertainty weights are ordinary optimizer parameters
+    # (reference solver/build.py:10-35)
+    uncert_tx = optax.chain(
+        optax.trace(decay=cfg.SOLVER.MOMENTUM),
+        optax.scale_by_learning_rate(schedule),
+    )
     state = create_train_state(
-        model, tx, variables, uncert_count=cfg.SOLVER.UNCERT_LOSS_WEIGHT
+        model, tx, variables, uncert_count=cfg.SOLVER.UNCERT_LOSS_WEIGHT,
+        uncert_tx=uncert_tx,
     )
     ckpt = Checkpointer(f"{cfg.OUTPUT_DIR}/ckpt")
     state, start_iter = ckpt.load(state, load_optimizer=cfg.SOLVER.LOAD_OPTIMIZER)
 
     step_fn = make_train_step(
-        model, tx, cfg.SOLVER.DO_GRAD_CLIP, cfg.SOLVER.GRAD_CLIP
+        model, tx, cfg.SOLVER.DO_GRAD_CLIP, cfg.SOLVER.GRAD_CLIP,
+        apply_kwargs=static_kwargs, uncert_tx=uncert_tx,
     )
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data"))
@@ -99,14 +130,11 @@ def main():
     jitted = jax.jit(step_fn)
 
     def to_device(batch):
-        out = {}
-        for k in ("left", "right", "gt_left", "gt_right", "gt_labels", "gt_valid", "gt_masks"):
-            if k in batch:
-                out[k] = jax.device_put(jnp.asarray(batch[k]), data_sh)
-        return out
+        return jax.device_put(convert(batch, train=True), data_sh)
 
     meters = MetricLogger()
     t0 = time.perf_counter()
+    it = start_iter
     for it, batch in enumerate(loader, start=start_iter):
         state, metrics = jitted(state, to_device(batch), rng)
         if it % cfg.SOLVER.PRINT_INTERVAL == 0:
@@ -121,7 +149,7 @@ def main():
             )
         if it > start_iter and it % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
             ckpt.save(it, jax.device_get(state))
-    ckpt.save(cfg.SOLVER.MAX_ITER, jax.device_get(state))
+    ckpt.save(max(cfg.SOLVER.MAX_ITER, it + 1), jax.device_get(state))
     logger.info("training done")
 
 
