@@ -102,7 +102,9 @@ class FeatureExtraction(nn.Module):
             p = min(pool, h)
             y = nn.avg_pool(skip, (p, p), strides=(p, p))
             y = nn.relu(ConvBN(32, 1, dtype=self.dtype)(y, train))
-            y = jax.image.resize(y, (y.shape[0], h, w, y.shape[-1]), "bilinear")
+            # reference upsamples SPP branches with align_corners=True
+            # (submodule.py:120-133)
+            y = bilinear_align_corners(y, (h, w))
             branches.append(y)
         x = jnp.concatenate(branches, axis=-1)  # 64+128+4*32 = 320
         x = nn.relu(ConvBN(128, 3, dtype=self.dtype)(x, train))
@@ -181,6 +183,17 @@ def _interp_matrix_align_corners(n_in: int, n_out: int, dtype=jnp.float32) -> jn
     m = jnp.zeros((n_out, n_in), jnp.float32)
     m = m.at[rows, i0].add(1.0 - frac).at[rows, i0 + 1].add(frac)
     return m.astype(dtype)
+
+
+def bilinear_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H', W', C) with align_corners=True semantics
+    (reference SPP branches, submodule.py:120-133) via MXU contractions."""
+    h, w = x.shape[1], x.shape[2]
+    ho, wo = out_hw
+    mh = _interp_matrix_align_corners(h, ho, x.dtype)
+    mw = _interp_matrix_align_corners(w, wo, x.dtype)
+    x = jnp.einsum("bhwc,eh->bewc", x, mh)
+    return jnp.einsum("bhwc,ew->bhec", x, mw)
 
 
 def trilinear_align_corners(x: jnp.ndarray, out_dhw: Tuple[int, int, int]) -> jnp.ndarray:

@@ -1,0 +1,122 @@
+"""End-to-end staged pipeline on a synthetic mini-KITTI (slow).
+
+Drives the reference's 4-stage recipe (SURVEY.md §3.3,
+scripts/car/vob/*.sh) through the real CLI tools on a KITTI-format dump:
+  1. stage-1 2D training + inference -> offline predictions,
+  2. stage-2 iDispNet training (DispRCNN3D + TRAIN_PSM) consuming them,
+  3. stage-3 3D RPN training seeded from the stage-2 checkpoint,
+  4. stage-4 3D RCNN training + full-pipeline eval emitting KITTI 3D txt.
+
+Everything runs subprocess-level so argument parsing, config merging, stage
+handoff and prediction caching are all exercised. XLA compiles are shared
+via the repo compile cache, so reruns are much faster than first runs.
+"""
+import os
+import pickle
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY = [
+    "INPUT.DO_RESIZE", "False",
+    "SOLVER.IMS_PER_BATCH", "1",
+    "TPU.MAX_GT", "8",
+    "TPU.MAX_DETECTIONS", "8",
+    "TPU.ROI_CROP_SIZE", "64",
+    "SOLVER.CHECKPOINT_PERIOD", "1000",
+    "TPU.MESH_SHAPE", "(1,)",
+]
+
+
+def run(args, data_root):
+    env = dict(os.environ)
+    env["DISPRCNN_DATA_DIR"] = data_root
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, f"{args}\nSTDOUT:{r.stdout[-2000:]}\nSTDERR:{r.stderr[-2000:]}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def mini_kitti(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mini_kitti"))
+    run(["tools/make_mini_kitti.py", "--root", root,
+         "--n-train", "4", "--n-val", "2", "--image-hw", "128,320"], root)
+    return root
+
+
+def test_four_stage_recipe(mini_kitti, tmp_path):
+    out = str(tmp_path)
+    mask_dir = f"{out}/mask"
+    mask_tiny = TINY + [
+        "MODEL.WEIGHT", "", "MODEL.BACKBONE.CONV_BODY", "FBNet-FPN",
+        "MODEL.RPN.PRE_NMS_TOP_N_TRAIN", "128",
+        "MODEL.RPN.POST_NMS_TOP_N_TRAIN", "64",
+        "MODEL.RPN.PRE_NMS_TOP_N_TEST", "256",
+        "MODEL.RPN.POST_NMS_TOP_N_TEST", "64",
+        "MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "16",
+        "OUTPUT_DIR", mask_dir,
+    ]
+    # stage 1: 2D train + inference on train/val
+    run(["tools/train_net.py", "--config-file", "configs/kitti/car/vob/mask.yaml",
+         "--max-iter", "2", "--static-hw", "128,320", "--platform", "cpu"]
+        + mask_tiny, mini_kitti)
+    for split in ("train", "val"):
+        run(["tools/test_net.py", "--config-file", "configs/kitti/car/vob/mask.yaml",
+             "--dataset", f"kitti_{split}_vob_car", "--static-hw", "128,320",
+             "--platform", "cpu"] + mask_tiny, mini_kitti)
+    preds = f"{mask_dir}/inference/kitti_train_vob_car/predictions.pkl"
+    assert os.path.exists(preds)
+    with open(preds, "rb") as f:
+        p = pickle.load(f)
+    assert len(p) == 4 and {"left_boxes", "masks", "scores"} <= set(next(iter(p.values())))
+
+    # stage 2: iDispNet training consumes the offline predictions
+    o2d = f"{mask_dir}/inference/kitti_%s_vob_car/predictions"
+    idisp_dir = f"{out}/idispnet"
+    stage23 = TINY + [
+        "SOLVER.OFFLINE_2D_PREDICTIONS", o2d,
+        "MODEL.DISPNET.MAX_ROI_FOR_TRAINING", "4",
+        "MODEL.PCNET.MAX_ROI_FOR_TRAINING", "4",
+        "MODEL.POINTRCNN.RCNN.ROI_PER_IMAGE", "8",
+    ]
+    run(["tools/train_net.py", "--config-file", "configs/kitti/car/vob/idispnet.yaml",
+         "--max-iter", "2", "--static-hw", "128,320", "--platform", "cpu"]
+        + stage23 + ["OUTPUT_DIR", idisp_dir], mini_kitti)
+    assert os.path.exists(f"{idisp_dir}/ckpt/last_checkpoint")
+
+    # stage 3: 3D RPN seeded from the idispnet checkpoint
+    rpn_dir = f"{out}/rpn"
+    run(["tools/train_net.py", "--config-file", "configs/kitti/car/vob/rpn.yaml",
+         "--max-iter", "2", "--static-hw", "128,320", "--platform", "cpu"]
+        + stage23 + ["MODEL.WEIGHT", f"{idisp_dir}/ckpt", "OUTPUT_DIR", rpn_dir],
+        mini_kitti)
+    assert os.path.exists(f"{rpn_dir}/ckpt/last_checkpoint")
+
+    # stage 4: 3D RCNN + full-pipeline eval with 3D txt
+    rcnn_dir = f"{out}/rcnn"
+    run(["tools/train_net.py", "--config-file", "configs/kitti/car/vob/rcnn.yaml",
+         "--max-iter", "2", "--static-hw", "128,320", "--platform", "cpu"]
+        + stage23 + ["MODEL.WEIGHT", f"{rpn_dir}/ckpt", "OUTPUT_DIR", rcnn_dir],
+        mini_kitti)
+    run(["tools/test_net.py", "--config-file", "configs/kitti/car/vob/rcnn.yaml",
+         "--dataset", "kitti_val_vob_car", "--static-hw", "128,320",
+         "--platform", "cpu", "--evaluate",
+         "--gt-dir", f"{mini_kitti}/object/training/label_2"]
+        + stage23 + ["OUTPUT_DIR", rcnn_dir], mini_kitti)
+    txt_dir = f"{rcnn_dir}/inference/kitti_val_vob_car/txt"
+    assert sorted(os.listdir(txt_dir)) == ["000004.txt", "000005.txt"]
+    # 3D predictions cached with box3d/score3d fields
+    with open(f"{rcnn_dir}/inference/kitti_val_vob_car/predictions.pkl", "rb") as f:
+        p3 = pickle.load(f)
+    first = next(iter(p3.values()))
+    assert "box3d" in first and first["box3d"].shape[-1] == 7
+    assert "score3d" in first
