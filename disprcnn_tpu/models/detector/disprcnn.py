@@ -311,9 +311,7 @@ def _gt_mask_on_roi(
         mk = flat_masks[gi]
         gy = bx[1] + (jnp.arange(size) + 0.5) / size * (bx[3] - bx[1]) - 0.5
         gx = bx[0] + (jnp.arange(size) + 0.5) / size * (bx[2] - bx[0]) - 0.5
-        yy = jnp.broadcast_to(gy[:, None], (size, size))
-        xx = jnp.broadcast_to(gx[None, :], (size, size))
-        return lift._bilinear(mk, yy, xx) > 0.5
+        return lift._bilinear_separable(mk, gy, gx) > 0.5
 
     return jax.vmap(one)(gidx, boxes)
 

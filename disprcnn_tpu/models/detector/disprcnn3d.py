@@ -72,9 +72,7 @@ def warp_gt_disparity_to_roi(
     h = y2 - y1
     gy = y1 + (jnp.arange(size) + 0.5) / size * h - 0.5
     gx = x1 + (jnp.arange(size) + 0.5) / size * w - 0.5
-    yy = jnp.broadcast_to(gy[:, None], (size, size))
-    xx = jnp.broadcast_to(gx[None, :], (size, size))
-    vals = lift._bilinear(gt_disp, yy, xx)
+    vals = lift._bilinear_separable(gt_disp, gy, gx)
     # ROI disparity = full disparity - (x1 - x1'): inverse of the prediction
     # path's `disp_roi + x1 - x1p` (point_rcnn.py:217); the value rescale
     # follows DisparityMap.resize semantics.
@@ -285,10 +283,8 @@ def _mask_on_crop(
         gy = cb[1] + (jnp.arange(size) + 0.5) / size * h - 0.5
         gx = cb[0] + (jnp.arange(size) + 0.5) / size * w - 0.5
         m = mk.shape[-1]
-        my = (gy[:, None] - bx[1]) / jnp.maximum(bx[3] - bx[1], 1.0) * m - 0.5
-        mx = (gx[None, :] - bx[0]) / jnp.maximum(bx[2] - bx[0], 1.0) * m - 0.5
-        my = jnp.broadcast_to(my, (size, size))
-        mx = jnp.broadcast_to(mx, (size, size))
-        return lift._bilinear(mk, my, mx) > thresh
+        my = (gy - bx[1]) / jnp.maximum(bx[3] - bx[1], 1.0) * m - 0.5
+        mx = (gx - bx[0]) / jnp.maximum(bx[2] - bx[0], 1.0) * m - 0.5
+        return lift._bilinear_separable(mk, my, mx) > thresh
 
     return jax.vmap(one)(masks, box, crop)

@@ -26,15 +26,19 @@ class PointRCNN(nn.Module):
     rpn_loss_cls: str = "BinaryCrossEntropy"
     rpn_score_thresh: float = 0.3
     proposals_per_roi: int = 16
-    rpn_pre_nms_per_roi: int = 256  # score cap before rotated NMS (reference
-    # uses RPN_PRE_NMS_TOP_N // num_rois, typically > npoints; capping at 256
-    # bounds the rotated-IoU matrix with negligible recall impact)
+    rpn_pre_nms_per_roi: int = 128  # score cap before rotated NMS (reference
+    # uses RPN_PRE_NMS_TOP_N // num_rois, typically > npoints; capping bounds
+    # the rotated-IoU matrix — each instance cloud holds ONE object, so the
+    # top-128 of 768 candidate centers is a generous recall margin at 1/4 the
+    # pairwise-IoU cost of 256)
     rpn_nms_thresh: float = 0.8
     rcnn_enabled: bool = True
     rcnn_num_points: int = 512
     rcnn_rois_per_instance: int = 16
     rcnn_score_thresh: float = 0.1
-    sa_npoints: Tuple[int, ...] = (4096, 1024, 256, 64)
+    sa_npoints: Tuple[int, ...] = (768, 512, 256, 64)  # rpn.yaml:15 ladder;
+    # the lib/config.py default (4096-first) is pure overcompute on the
+    # fixed-768 pseudo-LiDAR clouds
     dtype: Any = jnp.float32
 
     @nn.compact

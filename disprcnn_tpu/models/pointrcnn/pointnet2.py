@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ...ops.points import (
     ball_query,
+    fps_or_identity,
     furthest_point_sample,
     gather_points,
     group_points,
@@ -60,7 +61,13 @@ def sample_and_group(
     if features is not None:
         grouped_feats = group_points(features, idx)
         if use_xyz:
-            return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+            # match the feature dtype: concat would otherwise promote the
+            # whole (B, M, S, 3+C) block to f32 and double its HBM traffic.
+            # The xyz entries are radius-bounded LOCAL offsets, well inside
+            # bf16's relative precision.
+            return jnp.concatenate(
+                [grouped_xyz.astype(grouped_feats.dtype), grouped_feats], axis=-1
+            )
         return grouped_feats
     return grouped_xyz
 
@@ -78,10 +85,9 @@ class SAModuleMSG(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False):
-        n = xyz.shape[1]
-        # FPS with npoint possibly > N (duplicates, matching the CUDA kernel)
-        idx = furthest_point_sample(xyz, self.npoint)
-        new_xyz = gather_points(xyz, idx)
+        # FPS with npoint possibly >= N: identity (order-invariant consumers)
+        idx = fps_or_identity(xyz, self.npoint)
+        new_xyz = xyz if idx is None else gather_points(xyz, idx)
         outs = []
         for i, (r, ns, mlp) in enumerate(zip(self.radii, self.nsamples, self.mlps)):
             g = sample_and_group(xyz, features, new_xyz, r, ns, self.use_xyz)
@@ -111,8 +117,8 @@ class SAModule(nn.Module):
             g = SharedMLP(self.mlp, self.use_bn, self.dtype, name="mlp")(g, train)
             new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
             return new_xyz, jnp.max(g, axis=2)
-        idx = furthest_point_sample(xyz, self.npoint)
-        new_xyz = gather_points(xyz, idx)
+        idx = fps_or_identity(xyz, self.npoint)
+        new_xyz = xyz if idx is None else gather_points(xyz, idx)
         g = sample_and_group(xyz, features, new_xyz, self.radius, self.nsample, self.use_xyz)
         g = SharedMLP(self.mlp, self.use_bn, self.dtype, name="mlp")(g, train)
         return new_xyz, jnp.max(g, axis=2)

@@ -16,6 +16,7 @@ TPU-friendly layout (channel dim maps to lanes); the reference uses (B, C, N).
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,15 @@ def _fps_single(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
 def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     """(B, N, 3) -> (B, npoint) int32 indices."""
     return jax.vmap(lambda p: _fps_single(p, npoint))(xyz)
+
+
+def fps_or_identity(xyz: jnp.ndarray, npoint: int) -> Optional[jnp.ndarray]:
+    """None when npoint >= N: FPS of all points is a permutation, and every
+    consumer here (centers for ball query / max-pooled neighbourhoods) is
+    order-invariant — skipping saves npoint sequential loop steps."""
+    if npoint >= xyz.shape[1]:
+        return None
+    return furthest_point_sample(xyz, npoint)
 
 
 def gather_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -101,7 +111,25 @@ def ball_query(
 
 
 def group_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """(B, N, C), (B, M, S) -> (B, M, S, C) by whole-row gathers."""
+    """(B, N, C), (B, M, S) -> (B, M, S, C).
+
+    TPU path: one-hot MATMUL instead of row gathers. XLA's row gather
+    (slice size (1, C)) runs at ~1 row/cycle — 18 ms for the RCNN stage's
+    (256, 8192) x 128ch grouping — while the equivalent
+    einsum('bmn,bnc->bmc', onehot(idx), feats) rides the MXU and the iota
+    comparison fuses into the matmul operand (~2 ms). Exact for any dtype:
+    the one-hot is built in the feature dtype and multiplies by 1.0.
+    """
+    b, m, s = idx.shape
+    n = feats.shape[1]
+    flat = idx.reshape(b, m * s)
+    onehot = (flat[:, :, None] == jnp.arange(n)[None, None, :]).astype(feats.dtype)
+    out = jnp.einsum("bmn,bnc->bmc", onehot, feats)
+    return out.reshape(b, m, s, feats.shape[-1])
+
+
+def group_points_gather(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row-gather fallback (faster on CPU; used by the numpy-oracle tests)."""
     b, m, s = idx.shape
     flat = idx.reshape(b, m * s)
     out = jax.vmap(lambda f, i: f[i])(feats, flat)
