@@ -92,6 +92,12 @@ def build_detection_model(cfg):
             sa_npoints=tuple(cfg.MODEL.POINTRCNN.RPN.SA_CONFIG.NPOINTS),
             rpn_loss_cls=cfg.MODEL.POINTRCNN.RPN.LOSS_CLS,
             rpn_score_thresh=cfg.MODEL.POINTRCNN.RPN.SCORE_THRESH,
+            aug_data=cfg.MODEL.POINTRCNN.AUG_DATA,
+            fg_aug_times=cfg.MODEL.POINTRCNN.RCNN.ROI_FG_AUG_TIMES,
+            aug_rot_range=cfg.MODEL.POINTRCNN.AUG_ROT_RANGE,
+            rpn_nms_rotated=cfg.MODEL.POINTRCNN.RPN.NMS_TYPE == "rotate",
+            rpn_distance_based=cfg.MODEL.POINTRCNN.TEST.RPN_DISTANCE_BASED_PROPOSE,
+            rpn_nms_thresh=cfg.MODEL.POINTRCNN.TEST.RPN_NMS_THRESH,
             dtype=_dtype(cfg),
         )
     raise NotImplementedError(meta)

@@ -123,6 +123,12 @@ class DispRCNN3D(nn.Module):
     sa_npoints: Tuple[int, ...] = (768, 512, 256, 64)  # rpn.yaml:15 SA_CONFIG
     rpn_loss_cls: str = "BinaryCrossEntropy"
     rpn_score_thresh: float = 0.3
+    aug_data: bool = True  # POINTRCNN.AUG_DATA
+    fg_aug_times: int = 10  # RCNN.ROI_FG_AUG_TIMES
+    aug_rot_range: float = 18.0  # POINTRCNN.AUG_ROT_RANGE
+    rpn_nms_rotated: bool = False  # RPN.NMS_TYPE
+    rpn_distance_based: bool = False  # TEST.RPN_DISTANCE_BASED_PROPOSE
+    rpn_nms_thresh: float = 0.8  # TEST.RPN_NMS_THRESH
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -249,6 +255,11 @@ class DispRCNN3D(nn.Module):
             rcnn_rois_per_instance=self.rcnn_rois_per_instance,
             sa_npoints=self.sa_npoints, rpn_loss_cls=self.rpn_loss_cls,
             rpn_score_thresh=self.rpn_score_thresh,
+            aug_data=self.aug_data, fg_aug_times=self.fg_aug_times,
+            aug_rot_range=self.aug_rot_range,
+            rpn_nms_rotated=self.rpn_nms_rotated,
+            rpn_distance_based=self.rpn_distance_based,
+            rpn_nms_thresh=self.rpn_nms_thresh,
             dtype=self.dtype, name="pointrcnn",
         )
         pr_out = prcnn(

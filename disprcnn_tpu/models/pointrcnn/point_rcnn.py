@@ -32,10 +32,17 @@ class PointRCNN(nn.Module):
     # top-128 of 768 candidate centers is a generous recall margin at 1/4 the
     # pairwise-IoU cost of 256)
     rpn_nms_thresh: float = 0.8
+    rpn_nms_rotated: bool = False  # RPN.NMS_TYPE 'normal' (default) / 'rotate'
+    rpn_distance_based: bool = False  # TEST.RPN_DISTANCE_BASED_PROPOSE
     rcnn_enabled: bool = True
     rcnn_num_points: int = 512
     rcnn_rois_per_instance: int = 16
     rcnn_score_thresh: float = 0.1
+    # train-time augmentation (POINTRCNN.AUG_DATA / RCNN.ROI_FG_AUG_TIMES /
+    # AUG_ROT_RANGE)
+    aug_data: bool = True
+    fg_aug_times: int = 10
+    aug_rot_range: float = 18.0
     sa_npoints: Tuple[int, ...] = (768, 512, 256, 64)  # rpn.yaml:15 ladder;
     # the lib/config.py default (4096-first) is pure overcompute on the
     # fixed-768 pseudo-LiDAR clouds
@@ -77,11 +84,13 @@ class PointRCNN(nn.Module):
             return out
 
         # proposals in the canonical frame, then rotate back to rect frame
-        rois_c, roi_scores, prop_valid = rpn3d.propose(
+        propose_fn = rpn3d.distance_propose if self.rpn_distance_based else rpn3d.propose
+        rois_c, roi_scores, prop_valid = propose_fn(
             rpn_out["cls"], rpn_out["reg"], rpn_out["xyz"], anchor, self.rpn_codec,
             pre_nms_top_n=min(self.rpn_pre_nms_per_roi, pts.shape[1]),
             post_nms_top_n=self.proposals_per_roi,
             nms_thresh=self.rpn_nms_thresh,
+            rotated=self.rpn_nms_rotated,
         )
         r, m = rois_c.shape[0], rois_c.shape[1]
         rois = _decanon_rois(rois_c, angles, pts_mean)
@@ -92,29 +101,37 @@ class PointRCNN(nn.Module):
         seg_mask = (jax.nn.sigmoid(rpn_out["cls"]) > self.rpn_score_thresh).astype(self.dtype)
 
         if train:
-            s_rois, cls_label, reg_mask, gt_ct, s_ok = rcnn3d.sample_rcnn_rois(
-                sampling_key, rois, prop_valid, gt_boxes3d, gt_ok & roi_valid,
-                rois_per_instance=self.rcnn_rois_per_instance,
+            # full ProposalTargetLayer: fg/hard-bg sampling + ROI noise aug +
+            # pooling + rot/scale/flip aug + canonical transform
+            pts_input, cls_label, reg_mask, gt_ct, s_rois, s_ok = (
+                rcnn3d.prepare_rcnn_train_inputs(
+                    sampling_key, rois, prop_valid, gt_boxes3d,
+                    gt_ok & roi_valid, xyz_rect, rpn_out["features"], seg_mask,
+                    rois_per_instance=self.rcnn_rois_per_instance,
+                    num_points=self.rcnn_num_points,
+                    aug_data=self.aug_data, fg_aug_times=self.fg_aug_times,
+                    aug_rot_range=self.aug_rot_range,
+                )
             )
-            pool_rois = s_rois
-        else:
-            pool_rois = rois
+            k = s_rois.shape[1]
+            cls_pred, reg_pred = rcnn3d.RCNNNet(dtype=self.dtype, name="rcnn")(
+                pts_input.reshape(r * k, self.rcnn_num_points, -1), train=True
+            )
+            out["loss_box3d"] = rcnn3d.rcnn_loss(
+                cls_pred, reg_pred, cls_label.reshape(-1),
+                reg_mask.reshape(-1), gt_ct.reshape(-1, 7), anchor,
+            )
+            return out
 
+        pool_rois = rois
         pts_input, empty = rcnn3d.pool_rcnn_inputs(
             xyz_rect, rpn_out["features"], seg_mask, pool_rois,
             num_points=self.rcnn_num_points,
         )
         k = pool_rois.shape[1]
         cls_pred, reg_pred = rcnn3d.RCNNNet(dtype=self.dtype, name="rcnn")(
-            pts_input.reshape(r * k, self.rcnn_num_points, -1), train=train
+            pts_input.reshape(r * k, self.rcnn_num_points, -1), train=False
         )
-        if train:
-            out["loss_box3d"] = rcnn3d.rcnn_loss(
-                cls_pred, reg_pred,
-                jnp.where(s_ok.reshape(-1), cls_label.reshape(-1), -1.0),
-                reg_mask.reshape(-1), gt_ct.reshape(-1, 7), anchor,
-            )
-            return out
 
         box3d, score3d, is_random = rcnn3d.rcnn_postprocess(
             cls_pred.reshape(r, k), reg_pred.reshape(r, k, -1), pool_rois,

@@ -14,9 +14,13 @@ Pipeline (per 2D instance, fixed M proposals):
 - eval: sigmoid scores, threshold, take the best refined box per instance
   (falling back to the best RPN proposal — the reference's `random` flag).
 
-Deviations (round 1): the reference's ROI noise augmentation
-(aug_roi_by_noise_torch) and train-time flip/rot/scale augs are not yet
-applied; sampling is PRNG-keyed instead.
+Train-time augmentation (proposal_target_layer.py:219-348) is implemented in
+fixed-shape PRNG-keyed form: `aug_roi_by_noise` draws all `aug_times`
+candidates at once and takes the first above the IoU threshold (matching the
+reference's rejection loop in distribution), and `rcnn_data_augmentation`
+applies the joint rotation (alpha-preserving ry update), +-5% scaling and
+x-flip to pooled points, rois and GT — including the reference's
+`(rand - 0.5 / 0.5)` precedence quirk that makes the rotation one-sided.
 """
 from __future__ import annotations
 
@@ -130,6 +134,118 @@ def canonical_gt(rois: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+# pos_range, hwl_range, angle_range per difficulty tier
+# (proposal_target_layer.random_aug_box3d REG_AUG_METHOD='multiple')
+_AUG_RANGES = (
+    (0.2, 0.1, math.pi / 12),
+    (0.3, 0.15, math.pi / 12),
+    (0.5, 0.15, math.pi / 9),
+    (0.8, 0.15, math.pi / 6),
+    (1.0, 0.15, math.pi / 3),
+)
+
+
+def _random_aug_box3d(key: jax.Array, box: jnp.ndarray) -> jnp.ndarray:
+    """One noised candidate of a (7,) box (random_aug_box3d 'multiple')."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    ranges = jnp.asarray(_AUG_RANGES, box.dtype)
+    row = ranges[jax.random.randint(k1, (), 0, len(_AUG_RANGES))]
+    pos = (jax.random.uniform(k2, (3,), box.dtype) - 0.5) / 0.5 * row[0]
+    hwl = (jax.random.uniform(k3, (3,), box.dtype) - 0.5) / 0.5 * row[1] + 1.0
+    ang = (jax.random.uniform(k4, (), box.dtype) - 0.5) / 0.5 * row[2]
+    return jnp.concatenate([box[0:3] + pos, box[3:6] * hwl, box[6:7] + ang])
+
+
+def aug_roi_by_noise(
+    key: jax.Array,
+    rois: jnp.ndarray,  # (K, 7)
+    gts: jnp.ndarray,  # (K, 7) matched GT per roi
+    iou_src: jnp.ndarray,  # (K,)
+    pos_thresh: float,
+    aug_times: int = 10,
+    fg_mask: jnp.ndarray = None,  # (K,) — bg rois get exactly ONE trial
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """ROI noise augmentation (aug_roi_by_noise_torch,
+    proposal_target_layer.py:219-246): fixed-shape form draws all
+    `aug_times` trials at once — each keeps the original with p=0.2,
+    otherwise perturbs it — and selects the FIRST trial whose IoU3D with the
+    GT clears `pos_thresh` (the last trial if none does, as the reference's
+    loop leaves the last attempt in place). Background rois are augmented
+    with aug_times=1 (proposal_target_layer.py:170). Returns (rois', iou')."""
+    if aug_times <= 0:
+        return rois, iou_src
+    if fg_mask is None:
+        fg_mask = jnp.ones(rois.shape[0], bool)
+
+    def per(k, roi, gt, src_iou, is_fg):
+        kk, kb = jax.random.split(k)
+        keep = jax.random.uniform(kb, (aug_times,)) < 0.2
+        cands = jax.vmap(_random_aug_box3d, in_axes=(0, None))(
+            jax.random.split(kk, aug_times), roi
+        )
+        cands = jnp.where(keep[:, None], roi[None, :], cands)
+        ious = pairwise_iou3d(cands, gt[None])[:, 0]
+        success = ious >= pos_thresh
+        sel_fg = jnp.where(jnp.any(success), jnp.argmax(success), aug_times - 1)
+        sel = jnp.where(is_fg, sel_fg, 0)  # bg: single trial
+        out_iou = jnp.where(keep[sel], src_iou, ious[sel])
+        return cands[sel], out_iou
+
+    keys = jax.random.split(key, rois.shape[0])
+    return jax.vmap(per)(keys, rois, gts, iou_src, fg_mask)
+
+
+def rcnn_data_augmentation(
+    key: jax.Array,
+    pts: jnp.ndarray,  # (K, P, 3) pooled rect-frame points
+    rois: jnp.ndarray,  # (K, 7)
+    gts: jnp.ndarray,  # (K, 7)
+    aug_rot_range: float = 18.0,
+):
+    """Joint rotation/scaling/flip augmentation of pooled points + boxes
+    (proposal_target_layer.data_augmentation:291-348). The ry of the rotated
+    boxes is updated by PRESERVING alpha (viewing angle), not by adding the
+    rotation. Faithfully reproduces the reference's `(rand - 0.5 / 0.5)`
+    precedence quirk: rotation angles are drawn from
+    (U[0,1] - 1) * pi/range, i.e. one-sided."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = rois.shape[0]
+    angles = (jax.random.uniform(k1, (n,)) - 0.5 / 0.5) * (math.pi / aug_rot_range)
+
+    def alpha_of(b):
+        beta = jnp.arctan2(b[..., 2], b[..., 0])
+        return -jnp.sign(beta) * math.pi / 2 + beta + b[..., 6], beta
+
+    gt_alpha, _ = alpha_of(gts)
+    roi_alpha, _ = alpha_of(rois)
+
+    pts = rotate_points_along_y(pts, angles)
+
+    def rot_box(b, alpha):
+        c = rotate_points_along_y(b[:, None, 0:3], angles)[:, 0]
+        beta = jnp.arctan2(c[:, 2], c[:, 0])
+        ry = jnp.sign(beta) * math.pi / 2 + alpha - beta
+        return jnp.concatenate([c, b[:, 3:6], ry[:, None]], axis=-1)
+
+    gts = rot_box(gts, gt_alpha)
+    rois = rot_box(rois, roi_alpha)
+
+    scales = 1.0 + (jax.random.uniform(k2, (n,)) - 0.5) / 0.5 * 0.05
+    pts = pts * scales[:, None, None]
+    gts = gts.at[:, 0:6].multiply(scales[:, None])
+    rois = rois.at[:, 0:6].multiply(scales[:, None])
+
+    flip = jnp.sign(jax.random.uniform(k3, (n,)) - 0.5)
+    pts = pts.at[..., 0].multiply(flip[:, None])
+
+    def flip_box(b):
+        x = b[:, 0] * flip
+        ry = jnp.where(flip == 1.0, b[:, 6], jnp.sign(b[:, 6]) * math.pi - b[:, 6])
+        return jnp.concatenate([x[:, None], b[:, 1:6], ry[:, None]], axis=-1)
+
+    return pts, flip_box(rois), flip_box(gts)
+
+
 def sample_rcnn_rois(
     key: jax.Array,
     rois: jnp.ndarray,  # (R, M, 7)
@@ -144,15 +260,20 @@ def sample_rcnn_rois(
     cls_bg_thresh_lo: float = 0.05,
     hard_bg_ratio: float = 0.8,
 ):
-    """-> (sampled_rois (R, K, 7), cls_label (R, K), reg_mask (R, K),
-    gt_ct (R, K, 7), sampled_ok (R, K))."""
+    """-> (sampled_rois (R, K, 7), s_iou (R, K), fg_slot (R, K), ok (R, K)).
+
+    Fg / hard-bg / easy-bg split with HARD_BG_RATIO
+    (proposal_target_layer.sample_rois_for_rcnn + sample_bg_inds). Labels are
+    computed AFTER noise augmentation by `rcnn_labels` — the reference
+    labels against the augmented IoU."""
     r, m, _ = rois.shape
     keys = jax.random.split(key, r)
     n_fg = int(round(rois_per_instance * fg_ratio))
+    fg_thresh = min(reg_fg_thresh, cls_fg_thresh)
 
     def per_instance(k, roi, rv, g, gok):
         iou = pairwise_iou3d(roi, g[None])[:, 0] * rv
-        is_fg = (iou >= reg_fg_thresh) & rv & gok
+        is_fg = (iou >= fg_thresh) & rv & gok
         hard_bg = (iou >= cls_bg_thresh_lo) & (iou < cls_bg_thresh) & rv
         easy_bg = (iou < cls_bg_thresh_lo) & rv
         k1, k2, k3 = jax.random.split(k, 3)
@@ -171,14 +292,91 @@ def sample_rcnn_rois(
         bg_ok = (slot < hard_cnt) | (easy_bg[easy_idx[jnp.maximum(slot - hard_cnt, 0)]])
         idx = jnp.concatenate([fg_idx, bg_idx])
         ok = jnp.concatenate([jnp.arange(n_fg) < fg_cnt, bg_ok])
-        s_rois = roi[idx]
-        s_iou = iou[idx]
-        cls = jnp.where(s_iou > cls_fg_thresh, 1.0, jnp.where(s_iou < cls_bg_thresh, 0.0, -1.0))
-        reg_mask = (s_iou >= reg_fg_thresh) & ok
-        gt_ct = canonical_gt(s_rois, jnp.broadcast_to(g, s_rois[..., :7].shape))
-        return s_rois, jnp.where(ok, cls, -1.0), reg_mask, gt_ct, ok
+        fg_slot = jnp.concatenate([jnp.arange(n_fg) < fg_cnt, jnp.zeros(n_bg, bool)])
+        return roi[idx], iou[idx], fg_slot, ok
 
     return jax.vmap(per_instance)(keys, rois, roi_valid, gt, gt_ok)
+
+
+def prepare_rcnn_train_inputs(
+    key: jax.Array,
+    rois: jnp.ndarray,  # (R, M, 7) proposals (rect frame)
+    roi_valid: jnp.ndarray,  # (R, M)
+    gt: jnp.ndarray,  # (R, 7)
+    gt_ok: jnp.ndarray,  # (R,)
+    xyz: jnp.ndarray,  # (R, N, 3) rect-frame points
+    rpn_feats: jnp.ndarray,  # (R, N, C)
+    seg_mask: jnp.ndarray,  # (R, N)
+    rois_per_instance: int = 16,
+    num_points: int = 512,
+    aug_data: bool = True,
+    fg_aug_times: int = 10,
+    aug_rot_range: float = 18.0,
+    reg_fg_thresh: float = 0.55,
+    cls_fg_thresh: float = 0.6,
+    cls_bg_thresh: float = 0.45,
+    pool_extra_width: float = 1.0,
+):
+    """The full ProposalTargetLayer (proposal_target_layer.py:15-120):
+    sample -> ROI noise aug -> pool -> rot/scale/flip aug -> canonical.
+
+    -> (pts_input (R, K, num_points, 5 + C), cls_label (R, K),
+        reg_mask (R, K), gt_ct (R, K, 7), s_rois (R, K, 7), ok (R, K))."""
+    k_s, k_n, k_a = jax.random.split(key, 3)
+    r = rois.shape[0]
+    k = rois_per_instance
+    s_rois, s_iou, fg_slot, ok = sample_rcnn_rois(
+        k_s, rois, roi_valid, gt, gt_ok, rois_per_instance=k,
+        reg_fg_thresh=reg_fg_thresh, cls_fg_thresh=cls_fg_thresh,
+        cls_bg_thresh=cls_bg_thresh,
+    )
+    gt_rep = jnp.broadcast_to(gt[:, None, :], (r, k, 7))
+    if aug_data and fg_aug_times > 0:
+        flat = lambda x: x.reshape((r * k,) + x.shape[2:])
+        a_rois, a_iou = aug_roi_by_noise(
+            k_n, flat(s_rois), flat(gt_rep), flat(s_iou),
+            pos_thresh=min(reg_fg_thresh, cls_fg_thresh),
+            aug_times=fg_aug_times, fg_mask=flat(fg_slot),
+        )
+        s_rois = a_rois.reshape(r, k, 7)
+        s_iou = a_iou.reshape(r, k)
+
+    # pool raw (pre-canonical) points + features per augmented roi
+    depth = jnp.linalg.norm(xyz, axis=-1) / 70.0 - 0.5
+    feats = jnp.concatenate(
+        [seg_mask[..., None], depth[..., None], rpn_feats], axis=-1
+    )
+    grown = s_rois.at[..., 3:6].add(pool_extra_width * 2).at[..., 1].add(pool_extra_width)
+    pooled, empty = roipool3d(xyz, feats, grown, sampled_pts_num=num_points)
+    p_xyz = pooled[..., 0:3]
+    p_feats = pooled[..., 3:]
+
+    if aug_data:
+        flat3 = lambda x: x.reshape((r * k,) + x.shape[2:])
+        pts_f, rois_f, gts_f = rcnn_data_augmentation(
+            k_a, flat3(p_xyz), flat3(s_rois), flat3(gt_rep), aug_rot_range
+        )
+        p_xyz = pts_f.reshape(r, k, num_points, 3)
+        s_rois = rois_f.reshape(r, k, 7)
+        gt_rep = gts_f.reshape(r, k, 7)
+
+    # canonical transform about the augmented roi
+    center = s_rois[..., 0:3]
+    p_xyz = p_xyz - center[:, :, None, :]
+    p_xyz = rotate_points_along_y(
+        p_xyz.reshape(r * k, num_points, 3), s_rois[..., 6].reshape(r * k)
+    ).reshape(r, k, num_points, 3)
+    gt_ct = canonical_gt(s_rois, gt_rep)
+
+    # labels from the AUGMENTED iou; pooled-empty rois are ignored
+    valid = ok & ~empty
+    cls = jnp.where(
+        s_iou > cls_fg_thresh, 1.0, jnp.where(s_iou < cls_bg_thresh, 0.0, -1.0)
+    )
+    cls_label = jnp.where(valid, cls, -1.0)
+    reg_mask = (s_iou > reg_fg_thresh) & valid
+    pts_input = jnp.concatenate([p_xyz, p_feats], axis=-1)
+    return pts_input, cls_label, reg_mask, gt_ct, s_rois, valid
 
 
 def rcnn_loss(

@@ -119,12 +119,14 @@ def propose(
     pre_nms_top_n: int,
     post_nms_top_n: int,
     nms_thresh: float,
+    rotated: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (rois (R, post, 7), scores (R, post), valid (R, post)).
 
     Reference score_based_proposal (proposal_layer.py:135-156): sort by score,
-    pre-NMS top-k, rotated BEV NMS, post-NMS top-k. Decoded y is shifted to
-    the bottom face (proposal_layer.py:40).
+    pre-NMS top-k, BEV NMS (RPN.NMS_TYPE: 'normal' axis-aligned by default,
+    'rotate' for rotated IoU), post-NMS top-k. Decoded y is shifted to the
+    bottom face (proposal_layer.py:40).
     """
 
     def per_roi(scores, reg, pts):
@@ -133,13 +135,71 @@ def propose(
         k = min(pre_nms_top_n, scores.shape[0])
         top_s, top_i = jax.lax.top_k(scores, k)
         b = boxes[top_i]
-        # one-shot pairwise rotated-IoU matrix + cheap greedy loop: computing
-        # IoU rows inside the suppression loop makes the TPU compile and run
-        # pathologically (vertex enumeration re-lowered per step)
         keep = bev_nms_mask(
-            boxes3d_to_bev(b), top_s, jnp.ones(k, bool), nms_thresh, rotated=True
+            boxes3d_to_bev(b), top_s, jnp.ones(k, bool), nms_thresh, rotated=rotated
         )
         idx, ok = topk_after_nms(keep, top_s, post_nms_top_n)
         return b[idx], top_s[idx], ok
+
+    return jax.vmap(per_roi)(cls_pred, reg_pred, xyz)
+
+
+def distance_propose(
+    cls_pred: jnp.ndarray,  # (R, N) raw scores
+    reg_pred: jnp.ndarray,  # (R, N, C)
+    xyz: jnp.ndarray,  # (R, N, 3)
+    anchor_size: jnp.ndarray,
+    cfg: codec.CodecCfg,
+    pre_nms_top_n: int,
+    post_nms_top_n: int,
+    nms_thresh: float,
+    rotated: bool = False,
+    nms_ranges: Tuple[float, float, float] = (0.0, 40.0, 80.0),
+    near_frac: float = 0.7,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Distance-based proposal (proposal_layer.py:70-134): split candidates
+    into near (z in (0, 40]) and far (z in (40, 80]) bands with a 70/30
+    pre/post budget split, run BEV NMS per band, concatenate. When the far
+    band is empty the reference falls back to the near band's score-rank
+    overflow window [pre_near, pre_near + pre_far) — reproduced here
+    branchlessly."""
+    pre1 = int(pre_nms_top_n * near_frac)
+    pre2 = pre_nms_top_n - pre1
+    post1 = int(post_nms_top_n * near_frac)
+    post2 = post_nms_top_n - post1
+    neg = -1e10
+
+    def per_roi(scores, reg, pts):
+        boxes = codec.decode(pts, reg, anchor_size, cfg)
+        boxes = boxes.at[:, 1].add(boxes[:, 3] / 2)
+        z = boxes[:, 2]
+        band1 = (z > nms_ranges[0]) & (z <= nms_ranges[1])
+        band2 = (z > nms_ranges[1]) & (z <= nms_ranges[2])
+
+        s1 = jnp.where(band1, scores, neg)
+        t1_s, t1_i = jax.lax.top_k(s1, pre1 + pre2)
+        i1, v1 = t1_i[:pre1], t1_s[:pre1] > neg / 2
+        over_i, over_v = t1_i[pre1:], t1_s[pre1:] > neg / 2
+
+        any2 = jnp.any(band2)
+        s2 = jnp.where(band2, scores, neg)
+        t2_s, t2_i = jax.lax.top_k(s2, pre2)
+        i2 = jnp.where(any2, t2_i, over_i)
+        v2 = jnp.where(any2, t2_s > neg / 2, over_v)
+
+        def band_nms(idx, vmask, post_n):
+            b = boxes[idx]
+            sc = jnp.where(vmask, scores[idx], neg)
+            keep = bev_nms_mask(boxes3d_to_bev(b), sc, vmask, nms_thresh, rotated=rotated)
+            kidx, kok = topk_after_nms(keep, sc, post_n)
+            return b[kidx], scores[idx][kidx], kok
+
+        b1, sc1, ok1 = band_nms(i1, v1, post1)
+        b2, sc2, ok2 = band_nms(i2, v2, post2)
+        return (
+            jnp.concatenate([b1, b2]),
+            jnp.concatenate([sc1, sc2]),
+            jnp.concatenate([ok1, ok2]),
+        )
 
     return jax.vmap(per_roi)(cls_pred, reg_pred, xyz)
