@@ -21,7 +21,7 @@ class FPN(nn.Module):
     out_channels: int = 256
     use_gn: bool = False
     use_relu: bool = False
-    top_blocks: str = "maxpool"  # "maxpool" (P6) | "none"
+    top_blocks: str = "maxpool"  # "maxpool" (P6) | "p6p7" (retinanet) | "none"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -57,6 +57,17 @@ class FPN(nn.Module):
             outs.append(x)
         if self.top_blocks == "maxpool":
             outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        elif self.top_blocks == "p6p7":
+            # LastLevelP6P7 (reference fpn.py:84-103): stride-2 3x3 convs on P5
+            p6 = nn.Conv(
+                self.out_channels, (3, 3), strides=(2, 2),
+                padding=[(1, 1), (1, 1)], dtype=self.dtype, name="p6_s2",
+            )(outs[-1])
+            p7 = nn.Conv(
+                self.out_channels, (3, 3), strides=(2, 2),
+                padding=[(1, 1), (1, 1)], dtype=self.dtype, name="p7_s2",
+            )(nn.relu(p6))
+            outs.extend([p6, p7])
         return tuple(outs)
 
 
@@ -70,6 +81,8 @@ class ResNetFPNBackbone(nn.Module):
     use_gn_fpn: bool = False
     use_relu_fpn: bool = False
     stride_in_1x1: bool = True
+    top_blocks: str = "maxpool"  # "maxpool" | "p6p7" | "none"
+    skip_c2: bool = False  # retinanet: laterals on C3-C5 only (P3-P7)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -90,10 +103,13 @@ class ResNetFPNBackbone(nn.Module):
                 dtype=self.dtype,
                 name="body",
             )(x)
+        if self.skip_c2:
+            cs = cs[1:]
         return FPN(
             out_channels=self.out_channels,
             use_gn=self.use_gn_fpn,
             use_relu=self.use_relu_fpn,
+            top_blocks=self.top_blocks,
             dtype=self.dtype,
             name="fpn",
         )(cs)

@@ -118,11 +118,13 @@ class ResNet(nn.Module):
     res5_dilation: int = 1
     use_gn: bool = False
     freeze_at: int = 2
+    num_stages: int = 4  # 3 => C4 body (stem + res2-4), reference _STAGE_SPECS R-50-C4
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         blocks = STAGE_BLOCKS[self.body.replace("-FPN", "").replace("-C4", "").replace("-C5", "")]
+        blocks = blocks[: self.num_stages]
         x = Stem(self.stem_out_channels, self.use_gn, self.dtype, name="stem")(x)
         if self.freeze_at >= 1:
             x = jax.lax.stop_gradient(x)
@@ -150,3 +152,36 @@ class ResNet(nn.Module):
                 x = jax.lax.stop_gradient(x)
             outs.append(x)
         return tuple(outs)
+
+
+class Stage5Head(nn.Module):
+    """Res5 stage applied to pooled ROI features (reference
+    ResNet50Conv5ROIFeatureExtractor, modeling/roi_heads/box_head/
+    roi_box_feature_extractors.py — the C4 box-head path).
+
+    Input (N, r, r, 1024) ROI features -> (N, r/2, r/2, 2048).
+    """
+
+    body: str = "R-50"
+    num_groups: int = 1
+    width_per_group: int = 64
+    stride_in_1x1: bool = True
+    use_gn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n_blocks = STAGE_BLOCKS[self.body.replace("-C4", "").replace("-C5", "")][3]
+        in_ch = x.shape[-1]
+        for b in range(n_blocks):
+            x = Bottleneck(
+                in_channels=in_ch if b == 0 else 2048,
+                bottleneck_channels=self.num_groups * self.width_per_group * 8,
+                out_channels=2048,
+                stride=2 if b == 0 else 1,
+                stride_in_1x1=self.stride_in_1x1,
+                use_gn=self.use_gn,
+                dtype=self.dtype,
+                name=f"layer4_{b}",
+            )(x)
+        return x

@@ -1,8 +1,12 @@
 """Config -> model construction (reference modeling/detector/detectors.py:11-14).
 
-META_ARCHITECTURE:
-- "DispRCNN" / "GeneralizedRCNN" (stereo configs always set STEREO_ON): the 2D
-  stereo detector.
+Dispatch mirrors the reference registry (modeling/rpn/rpn.py:201-209,
+modeling/detector/*):
+- MODEL.RETINANET_ON -> RetinaNetDetector (single-stage, single-view).
+- "DispRCNN" / "GeneralizedRCNN" with MODEL.STEREO_ON -> the 2D stereo
+  detector (every shipped config).
+- "GeneralizedRCNN" with STEREO_ON=False -> mono Mask R-CNN (single-view RPN
+  + box/mask heads; FPN or C4/C5 CONV_BODY).
 - "DispRCNN3D": the stage-2/3 model consuming offline 2D predictions.
 """
 from __future__ import annotations
@@ -19,6 +23,57 @@ def _dtype(cfg):
 
 def build_detection_model(cfg):
     meta = cfg.MODEL.META_ARCHITECTURE
+    if cfg.MODEL.RETINANET_ON:
+        from .detector.retinanet_det import RetinaNetDetector
+
+        r = cfg.MODEL.RETINANET
+        return RetinaNetDetector(
+            body=cfg.MODEL.BACKBONE.CONV_BODY.replace("-FPN", "").replace("-RETINANET", ""),
+            out_channels=cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
+            freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
+            num_classes=r.NUM_CLASSES - 1,
+            anchor_sizes=tuple(r.ANCHOR_SIZES),
+            anchor_strides=tuple(r.ANCHOR_STRIDES),
+            aspect_ratios=tuple(r.ASPECT_RATIOS),
+            octave=r.OCTAVE,
+            scales_per_octave=r.SCALES_PER_OCTAVE,
+            fg_iou=r.FG_IOU_THRESHOLD,
+            bg_iou=r.BG_IOU_THRESHOLD,
+            loss_gamma=r.LOSS_GAMMA,
+            loss_alpha=r.LOSS_ALPHA,
+            pre_nms_top_n=r.PRE_NMS_TOP_N,
+            score_thresh=r.INFERENCE_TH,
+            nms_thresh=r.NMS_TH,
+            max_det=cfg.TEST.DETECTIONS_PER_IMG,
+            use_gn=cfg.MODEL.BACKBONE.USE_GN,
+            dtype=_dtype(cfg),
+        )
+    if meta == "GeneralizedRCNN" and not cfg.MODEL.STEREO_ON:
+        from .detector.generalized_rcnn import GeneralizedRCNN
+
+        return GeneralizedRCNN(
+            body=cfg.MODEL.BACKBONE.CONV_BODY,
+            out_channels=cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS,
+            freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
+            anchor_sizes=tuple(cfg.MODEL.RPN.ANCHOR_SIZES),
+            anchor_strides=tuple(cfg.MODEL.RPN.ANCHOR_STRIDE),
+            aspect_ratios=tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+            pre_nms_top_n_train=cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN,
+            pre_nms_top_n_test=cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST,
+            post_nms_top_n_train=cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN,
+            post_nms_top_n_test=cfg.MODEL.RPN.POST_NMS_TOP_N_TEST,
+            rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
+            num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
+            mlp_head_dim=cfg.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM,
+            roi_batch_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+            score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH,
+            box_nms_thresh=cfg.MODEL.ROI_HEADS.NMS,
+            max_det=cfg.TPU.MAX_DETECTIONS,
+            max_gt=cfg.TPU.MAX_GT,
+            mask_on=cfg.MODEL.MASK_ON,
+            use_gn=cfg.MODEL.BACKBONE.USE_GN,
+            dtype=_dtype(cfg),
+        )
     if meta in ("DispRCNN", "GeneralizedRCNN"):
         body = cfg.MODEL.BACKBONE.CONV_BODY.replace("-FPN", "")
         return DispRCNN(
@@ -63,6 +118,8 @@ def build_detection_model(cfg):
             dispnet_disp_resolution=cfg.MODEL.DISPNET.DISP_RESOLUTIONS[0],
             dispnet_conv_layers=tuple(cfg.MODEL.DISPNET.CONV_LAYERS),
             dispnet_loss_weight=cfg.MODEL.DISPNET.LOSS_WEIGHT,
+            use_gn=cfg.MODEL.BACKBONE.USE_GN,
+            use_gn_fpn=cfg.MODEL.FPN.USE_GN,
             dtype=_dtype(cfg),
         )
     if meta == "DispRCNN3D":

@@ -75,6 +75,9 @@ class DispRCNN(nn.Module):
     dispnet_disp_resolution: int = 112
     dispnet_conv_layers: Tuple[int, ...] = (256,)
     dispnet_loss_weight: float = 1.0
+    # backbone norm (MODEL.BACKBONE.USE_GN / MODEL.FPN.USE_GN)
+    use_gn: bool = False
+    use_gn_fpn: bool = False
     # dtype policy
     dtype: Any = jnp.float32
 
@@ -95,6 +98,7 @@ class DispRCNN(nn.Module):
         b, img_h, img_w, _ = left.shape
         backbone = ResNetFPNBackbone(
             body=self.body, out_channels=self.out_channels, freeze_at=self.freeze_at,
+            use_gn_body=self.use_gn, use_gn_fpn=self.use_gn_fpn,
             dtype=self.dtype, name="backbone",
         )
         feats = backbone(jnp.concatenate([left, right], axis=0))

@@ -49,6 +49,38 @@ class MonoBoxHead(nn.Module):
         return scores, deltas
 
 
+class C4BoxHead(nn.Module):
+    """ResNet50Conv5ROIFeatureExtractor + FastRCNNPredictor (reference
+    roi_box_feature_extractors.py:16-44, roi_box_predictors.py:7-28 — the
+    C4-body box-head path): 14x14 ROIAlign on the single C4 map, res5 stage
+    (stride 2 -> 7x7x2048), global average pool, linear cls/box heads."""
+
+    body: str = "R-50"
+    num_classes: int = 81
+    resolution: int = 14
+    scale: float = 1.0 / 16.0
+    sampling_ratio: int = 0
+    use_gn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat_c4, boxes, batch_idx):
+        from ..backbone.resnet import Stage5Head
+        from ...ops.roi_align import roi_align_batched
+
+        x = roi_align_batched(
+            feat_c4, boxes, batch_idx, self.resolution,
+            spatial_scale=self.scale, sampling_ratio=self.sampling_ratio,
+        )
+        x = Stage5Head(
+            body=self.body, use_gn=self.use_gn, dtype=self.dtype, name="head"
+        )(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        scores = nn.Dense(self.num_classes, dtype=self.dtype, name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype, name="bbox_pred")(x)
+        return scores, deltas
+
+
 class GeneralizedRCNN(nn.Module):
     body: str = "R-50"
     out_channels: int = 256
@@ -69,7 +101,24 @@ class GeneralizedRCNN(nn.Module):
     max_det: int = 32
     max_gt: int = 32
     mask_on: bool = False
+    use_gn: bool = False
     dtype: Any = jnp.float32
+
+    @property
+    def _c4_mode(self) -> bool:
+        return self.body.endswith(("-C4", "-C5"))
+
+    def _run_box_head(self, feats, boxes, batch_idx):
+        if self._c4_mode:
+            return C4BoxHead(
+                body=self.body, num_classes=self.num_classes,
+                scale=1.0 / 16.0 if self.body.endswith("-C4") else 1.0 / 32.0,
+                use_gn=self.use_gn, dtype=self.dtype, name="box_head",
+            )(feats[0], boxes, batch_idx)
+        return MonoBoxHead(
+            num_classes=self.num_classes, mlp_dim=self.mlp_head_dim,
+            dtype=self.dtype, name="box_head",
+        )(feats[:-1], boxes, batch_idx)
 
     @nn.compact
     def __call__(
@@ -82,16 +131,32 @@ class GeneralizedRCNN(nn.Module):
         gt_masks: Optional[jnp.ndarray] = None,
     ):
         b, img_h, img_w, _ = images.shape
-        feats = ResNetFPNBackbone(
-            body=self.body, out_channels=self.out_channels, freeze_at=self.freeze_at,
-            dtype=self.dtype, name="backbone",
-        )(images)
-        gen = AnchorGenerator(self.anchor_sizes, self.anchor_strides, self.aspect_ratios)
+        if self._c4_mode:
+            # single-map body: stem + res2..res4 (C4, stride 16) or res5 (C5,
+            # stride 32); reference modeling/backbone/backbone.py:16-34
+            from ..backbone.resnet import ResNet
+
+            n_stages = 3 if self.body.endswith("-C4") else 4
+            cs = ResNet(
+                body=self.body, num_stages=n_stages, freeze_at=self.freeze_at,
+                use_gn=self.use_gn, dtype=self.dtype, name="backbone",
+            )(images)
+            feats = (cs[-1],)
+            stride = 16 if n_stages == 3 else 32
+            gen = AnchorGenerator(self.anchor_sizes, (stride,), self.aspect_ratios)
+        else:
+            feats = ResNetFPNBackbone(
+                body=self.body, out_channels=self.out_channels,
+                freeze_at=self.freeze_at, use_gn_body=self.use_gn,
+                use_gn_fpn=self.use_gn, dtype=self.dtype, name="backbone",
+            )(images)
+            gen = AnchorGenerator(self.anchor_sizes, self.anchor_strides, self.aspect_ratios)
         anchors_np, vis_np = gen((img_h, img_w), [f.shape[1:3] for f in feats])
         anchors, vis = jnp.asarray(anchors_np), jnp.asarray(vis_np)
 
         head_outs = rpn.RPNHead(
-            in_channels=self.out_channels, num_anchors=gen.num_anchors_per_location,
+            in_channels=int(feats[0].shape[-1]),
+            num_anchors=gen.num_anchors_per_location,
             dtype=self.dtype, name="rpn_head",
         )(feats)
         logits, deltas = rpn.flatten_levels(head_outs)
@@ -129,10 +194,9 @@ class GeneralizedRCNN(nn.Module):
             p = proposals.xyxy.shape[1]
             flat = lambda x: x.reshape((b * p,) + x.shape[2:])
             batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
-            scores, box_deltas = MonoBoxHead(
-                num_classes=self.num_classes, mlp_dim=self.mlp_head_dim,
-                dtype=self.dtype, name="box_head",
-            )(feats[:-1], flat(proposals.xyxy), batch_idx)
+            scores, box_deltas = self._run_box_head(
+                feats, flat(proposals.xyxy), batch_idx
+            )
             lbl = jnp.clip(flat(labels), 0).astype(jnp.int32)
             logp = jax.nn.log_softmax(scores, -1)
             ce = -jnp.take_along_axis(logp, lbl[:, None], -1)[:, 0]
@@ -148,10 +212,9 @@ class GeneralizedRCNN(nn.Module):
         p = proposals.xyxy.shape[1]
         flat = lambda x: x.reshape((b * p,) + x.shape[2:])
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
-        scores, box_deltas = MonoBoxHead(
-            num_classes=self.num_classes, mlp_dim=self.mlp_head_dim,
-            dtype=self.dtype, name="box_head",
-        )(feats[:-1], flat(proposals.xyxy), batch_idx)
+        scores, box_deltas = self._run_box_head(
+            feats, flat(proposals.xyxy), batch_idx
+        )
 
         def post_img(sc, bd, prop):
             probs = jax.nn.softmax(sc, -1)
@@ -181,6 +244,11 @@ class GeneralizedRCNN(nn.Module):
             scores.reshape(b, p, -1), box_deltas.reshape(b, p, -1), proposals
         )
         out["detections"] = dets
+        if self.mask_on and self._c4_mode:
+            raise NotImplementedError(
+                "C4 mask head (shared res5 extractor) not supported; use an "
+                "FPN body for MASK_ON (reference MaskRCNNC4Predictor)"
+            )
         if self.mask_on:
             det_flat = dets.xyxy.reshape(b * self.max_det, 4)
             det_bi = jnp.repeat(jnp.arange(b, dtype=jnp.int32), self.max_det)

@@ -58,6 +58,7 @@ def balanced_sample(
     num_neg = jnp.minimum(jnp.sum(is_neg), batch_size - num_pos)
 
     def pick(k, mask, count, cap):
+        cap = min(cap, n)  # tiny inputs: fewer candidates than the budget
         pri = jnp.where(mask, jax.random.uniform(k, (n,)), -1.0)
         _, idx = jax.lax.top_k(pri, cap)
         sel = jnp.zeros(n, bool).at[idx].set(jnp.arange(cap) < count)

@@ -70,7 +70,7 @@ def postprocess(
         boxes, jnp.zeros(4), jnp.asarray([w - 1.0, h - 1.0, w - 1.0, h - 1.0])
     )
     big = (boxes[:, 2] - boxes[:, 0] >= min_size) & (boxes[:, 3] - boxes[:, 1] >= min_size)
-    idx, ok = nms_topk(boxes, top_s, big, nms_thresh, post_nms_top_n)
+    idx, ok = nms_topk(boxes, top_s, big, nms_thresh, min(post_nms_top_n, k))
     return Boxes2D(
         xyxy=boxes[idx], valid=ok, size=(w, h), fields={"objectness": top_s[idx]}
     )
