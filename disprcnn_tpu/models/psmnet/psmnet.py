@@ -22,10 +22,19 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.conv3d_packed import (
+    conv3d_packed_resident, conv3d_packed_strided, conv3d_packed_transposed,
+    pack_depth, repack_depth, unpack_depth,
+)
 
-def _bn(train: bool, name=None):
+
+def _bn(train: bool, name=None, dtype=None):
+    # dtype: compute dtype for scale/shift (bf16 on TPU halves the HBM
+    # traffic of every BN output and the residual adds that consume them);
+    # batch statistics are still accumulated in f32 by flax.
     return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name,
+        dtype=dtype,
     )
 
 
@@ -47,7 +56,7 @@ class ConvBN(nn.Module):
             kernel_dilation=(self.dilation,) * self.dims,
             use_bias=False, dtype=self.dtype,
         )(x)
-        return _bn(train)(x)
+        return _bn(train, dtype=self.dtype)(x)
 
 
 class BasicBlock(nn.Module):
@@ -68,7 +77,7 @@ class BasicBlock(nn.Module):
                 self.planes, (1, 1), strides=(self.stride,) * 2, use_bias=False,
                 dtype=self.dtype,
             )(x)
-            x = _bn(train)(x)
+            x = _bn(train, dtype=self.dtype)(x)
         return out + x
 
 
@@ -139,13 +148,137 @@ def build_cost_volume(
     return jnp.stack(slices, axis=1)
 
 
+def build_cost_volume_packed(
+    left_f: jnp.ndarray,
+    right_f: jnp.ndarray,
+    mindisp4: int,
+    maxdisp4: int,
+    g: int,
+) -> jnp.ndarray:
+    """Depth-packed cost volume: -> (B, D/G, H, W, G*2C). Same slices as
+    build_cost_volume, but G consecutive disparity slices are concatenated on
+    channels directly — no canonical (B, D, H, W, 2C) tensor, no transpose."""
+    b, h, w, c = left_f.shape
+    cols = jnp.arange(w)
+    slices = []
+    for i in range(mindisp4, maxdisp4):
+        shifted = jnp.roll(right_f, i, axis=2)
+        m = cols >= i if i >= 0 else cols < w + i
+        mask = m[None, None, :, None].astype(left_f.dtype)
+        slices.append(jnp.concatenate([left_f * mask, shifted * mask], axis=-1))
+    groups = [
+        jnp.concatenate(slices[i : i + g], axis=-1)
+        for i in range(0, len(slices), g)
+    ]
+    return jnp.stack(groups, axis=1)
+
+
+class _PackedKernelConv(nn.Module):
+    """conv3d (3x3x3, SAME, no bias, stride 1 or 2) on a depth-packed volume.
+    Param tree is identical to the nn.Conv it replaces (one "kernel"
+    (3,3,3,Ci,Co)); name it as that nn.Conv (e.g. "Conv_0") for
+    checkpoint/import compatibility."""
+
+    features: int
+    group: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        ci = xp.shape[-1] // self.group
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 3, ci, self.features), jnp.float32,
+        )
+        fn = conv3d_packed_resident if self.stride == 1 else conv3d_packed_strided
+        return fn(xp.astype(self.dtype), kernel.astype(self.dtype), self.group)
+
+
+class _PackedDeconv(nn.Module):
+    """ConvTranspose3d(k=3, s=2, padding=(1,2)) on a depth-packed volume.
+    Param tree identical to flax ConvTranspose ("kernel" (3,3,3,Ci,Co))."""
+
+    features: int
+    group: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        ci = xp.shape[-1] // self.group
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 3, ci, self.features), jnp.float32,
+        )
+        return conv3d_packed_transposed(
+            xp.astype(self.dtype), kernel.astype(self.dtype), self.group
+        )
+
+
+def _packed_bn(y, g, c, train, dtype, name=None):
+    """BatchNorm on a packed volume via a (..., G, C) view: per-channel
+    statistics are bit-equal to the canonical layout, train and eval."""
+    b, dg, h, w, gc = y.shape
+    y = y.reshape(b, dg, h, w, g, c)
+    y = _bn(train, name=name, dtype=dtype)(y)
+    return y.reshape(b, dg, h, w, gc)
+
+
+class PackedConvBN3d(nn.Module):
+    """ConvBN(dims=3, k=3, s=1|2) on a depth-packed volume (see
+    ops/conv3d_packed.py for why: 32-channel conv3d uses 32/128 MXU lanes)."""
+
+    features: int
+    group: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp, train: bool = False):
+        y = _PackedKernelConv(
+            self.features, self.group, self.stride, self.dtype, name="Conv_0"
+        )(xp)
+        g_out = self.group if self.stride == 1 else max(self.group // 2, 1)
+        return _packed_bn(y, g_out, self.features, train, self.dtype)
+
+
 class Hourglass(nn.Module):
+    """Stacked-hourglass block (stackhourglass.py:8-52).
+
+    packed_group=0: canonical NDHWC tensors (used by DispModule at ROI
+    resolution). packed_group=G (e.g. 4): input/skips/outputs are
+    depth-packed; every conv keeps 128 output lanes and no canonical
+    5-D C=32 tensor is ever materialized (those tile to 32/128 lanes and
+    turn the trunk into pure HBM copies — measured). Param trees of both
+    paths are identical (explicit names mirror flax auto-naming)."""
+
     planes: int
     dtype: Any = jnp.float32
+    packed_group: int = 0
 
     @nn.compact
     def __call__(self, x, presqu, postsqu, train: bool = False):
         p2 = self.planes * 2
+        if self.packed_group:
+            g = self.packed_group  # e.g. 4 at full res (C=32)
+            out = nn.relu(
+                PackedConvBN3d(p2, g, 2, self.dtype, name="ConvBN_0")(x, train)
+            )  # half res, group g/2
+            pre = PackedConvBN3d(p2, g // 2, 1, self.dtype, name="ConvBN_1")(out, train)
+            pre = nn.relu(pre + postsqu) if postsqu is not None else nn.relu(pre)
+            out = nn.relu(
+                PackedConvBN3d(p2, g // 2, 2, self.dtype, name="ConvBN_2")(pre, train)
+            )  # quarter res, group g/4 (>=1)
+            gq = max(g // 4, 1)
+            out = nn.relu(
+                PackedConvBN3d(p2, gq, 1, self.dtype, name="ConvBN_3")(out, train)
+            )
+            up1 = _PackedDeconv(p2, gq, self.dtype, name="ConvTranspose_0")(out)
+            up1 = _packed_bn(up1, 2 * gq, p2, train, self.dtype, name="BatchNorm_0")
+            post = nn.relu(up1 + (presqu if presqu is not None else pre))
+            up2 = _PackedDeconv(self.planes, g // 2, self.dtype, name="ConvTranspose_1")(post)
+            up2 = _packed_bn(up2, g, self.planes, train, self.dtype, name="BatchNorm_1")
+            return up2, pre, post
         out = nn.relu(ConvBN(p2, 3, 2, dims=3, dtype=self.dtype)(x, train))  # 1/8
         pre = ConvBN(p2, 3, 1, dims=3, dtype=self.dtype)(out, train)
         pre = nn.relu(pre + postsqu) if postsqu is not None else nn.relu(pre)
@@ -161,14 +294,14 @@ class Hourglass(nn.Module):
             p2, (3, 3, 3), strides=(2, 2, 2), padding=[(1, 2)] * 3,
             use_bias=False, dtype=self.dtype,
         )(out)
-        up1 = _bn(train)(up1)
+        up1 = _bn(train, dtype=self.dtype)(up1)
         post = nn.relu(up1 + (presqu if presqu is not None else pre))  # 1/8
 
         up2 = nn.ConvTranspose(
             self.planes, (3, 3, 3), strides=(2, 2, 2), padding=[(1, 2)] * 3,
             use_bias=False, dtype=self.dtype,
         )(post)
-        up2 = _bn(train)(up2)
+        up2 = _bn(train, dtype=self.dtype)(up2)
         return up2, pre, post
 
 
@@ -230,27 +363,41 @@ class PSMNet(nn.Module):
         both = feat(jnp.concatenate([left, right], axis=0), train)
         lf, rf = both[:b], both[b:]
 
-        cost = build_cost_volume(lf, rf, self.mindisp // 4, self.maxdisp // 4)
+        d4 = (self.maxdisp - self.mindisp) // 4
 
-        x = nn.relu(ConvBN(32, 3, dims=3, dtype=self.dtype, name="dres0_0")(cost, train))
-        x = nn.relu(ConvBN(32, 3, dims=3, dtype=self.dtype, name="dres0_1")(x, train))
-        y = nn.relu(ConvBN(32, 3, dims=3, dtype=self.dtype, name="dres1_0")(x, train))
-        y = ConvBN(32, 3, dims=3, dtype=self.dtype, name="dres1_1")(y, train)
-        cost0 = y + x
+        # The ENTIRE cost-volume trunk runs depth-PACKED: G consecutive
+        # disparity slices fold into channels so every conv fills the MXU's
+        # 128 output lanes AND every tensor tiles lane-perfectly (canonical
+        # NDHWC C=32 tensors tile to 32/128 lanes: measured, the trunk
+        # becomes HBM copies). Math identical — see ops/conv3d_packed.py.
+        assert d4 % 4 == 0, "disparity range must be a multiple of 16"
+        G = 4
+        costp = build_cost_volume_packed(
+            lf, rf, self.mindisp // 4, self.maxdisp // 4, G
+        )
+        x = nn.relu(PackedConvBN3d(32, G, dtype=self.dtype, name="dres0_0")(costp, train))
+        x = nn.relu(PackedConvBN3d(32, G, dtype=self.dtype, name="dres0_1")(x, train))
+        y = nn.relu(PackedConvBN3d(32, G, dtype=self.dtype, name="dres1_0")(x, train))
+        y = PackedConvBN3d(32, G, dtype=self.dtype, name="dres1_1")(y, train)
+        cost0p = y + x
 
-        out1, pre1, post1 = Hourglass(32, dtype=self.dtype, name="dres2")(cost0, None, None, train)
-        out1 = out1 + cost0
-        out2, pre2, post2 = Hourglass(32, dtype=self.dtype, name="dres3")(out1, pre1, post1, train)
-        out2 = out2 + cost0
-        out3, pre3, post3 = Hourglass(32, dtype=self.dtype, name="dres4")(out2, pre1, post2, train)
-        out3 = out3 + cost0
+        hg = partial(Hourglass, 32, dtype=self.dtype, packed_group=G)
+        out1, pre1, post1 = hg(name="dres2")(cost0p, None, None, train)
+        out1 = out1 + cost0p
+        out2, pre2, post2 = hg(name="dres3")(out1, pre1, post1, train)
+        out2 = out2 + cost0p
+        out3, pre3, post3 = hg(name="dres4")(out2, pre1, post2, train)
+        out3 = out3 + cost0p
 
-        def classif(z, name):
-            z = nn.relu(ConvBN(32, 3, dims=3, dtype=self.dtype, name=f"{name}_0")(z, train))
-            return nn.Conv(
-                1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False, dtype=self.dtype,
-                name=f"{name}_1",
-            )(z)
+        def classif(zp, name):
+            zp = nn.relu(
+                PackedConvBN3d(32, G, dtype=self.dtype, name=f"{name}_0")(zp, train)
+            )
+            # Co=1: repack to G=D so the final conv has D output lanes
+            # instead of 1; result is channels-last disparity (B, H, W, D)
+            zp = repack_depth(zp, G, d4)
+            out = _PackedKernelConv(1, d4, dtype=self.dtype, name=f"{name}_1")(zp)
+            return out[:, 0]  # (B, H, W, D)
 
         cost1 = classif(out1, "classif1")
         cost2 = classif(out2, "classif2") + cost1
@@ -258,10 +405,25 @@ class PSMNet(nn.Module):
 
         d_full = self.maxdisp - self.mindisp
 
-        def regress(c):
-            c = trilinear_align_corners(c[..., 0], (d_full, h, w))
-            p = jax.nn.softmax(c, axis=1)
-            return soft_argmin(p, self.mindisp, self.maxdisp)
+        def regress(c):  # c: (B, H, W, D) channels-last disparity volume
+            if not train and jax.default_backend() == "tpu":
+                # fused Pallas upsample+softmax+expectation: the full-res
+                # (B, H, W, D) volume never hits HBM (eval only — the train
+                # path needs autodiff through the XLA ops below)
+                from ...ops.pallas.softargmin import fused_softargmin
+
+                return fused_softargmin(
+                    c.astype(jnp.float32), (h, w), self.mindisp, self.maxdisp
+                )
+            md = _interp_matrix_align_corners(c.shape[-1], d_full, c.dtype)
+            mh = _interp_matrix_align_corners(c.shape[1], h, c.dtype)
+            mw = _interp_matrix_align_corners(c.shape[2], w, c.dtype)
+            c = jnp.einsum("bhwd,ed->bhwe", c, md)
+            c = jnp.einsum("bhwd,eh->bewd", c, mh)
+            c = jnp.einsum("bhwd,ew->bhed", c, mw)
+            p = jax.nn.softmax(c, axis=-1)  # over disparity, on lanes
+            disp = jnp.arange(self.mindisp, self.maxdisp, dtype=p.dtype)
+            return jnp.einsum("bhwd,d->bhw", p, disp)
 
         if train:
             return regress(cost1), regress(cost2), regress(cost3)
