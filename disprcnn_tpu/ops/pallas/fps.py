@@ -39,7 +39,10 @@ def _fps_kernel(npoint: int, n: int, xyz_ref, out_ref, mind):
         d = (x - xl) ** 2 + (y - yl) ** 2 + (z - zl) ** 2
         m = jnp.minimum(mind[...], d)
         mind[...] = m
-        nxt = jnp.argmax(m, axis=1).astype(jnp.int32)  # (ROWS,)
+        # argmax with lowest-index tie-break, spelled as max + masked min:
+        # mosaic's argmax lowering trips an i32/f32 cast bug on-device
+        mx = jnp.max(m, axis=1, keepdims=True)
+        nxt = jnp.min(jnp.where(m >= mx, lanes, n), axis=1).astype(jnp.int32)
         # dynamic-lane store via one-hot accumulate
         out_ref[...] = out_ref[...] + nxt[:, None] * (out_lanes == i)
         return nxt
