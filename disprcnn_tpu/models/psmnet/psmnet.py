@@ -23,8 +23,9 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.conv3d_packed import (
-    conv3d_packed_resident, conv3d_packed_strided, conv3d_packed_transposed,
-    pack_depth, repack_depth, unpack_depth,
+    conv2d_wpacked, conv3d_packed_r4, conv3d_packed_strided_r4,
+    conv3d_packed_transposed_r4, pack_depth, repack_depth, unpack_depth,
+    wpack, wunpack,
 )
 
 
@@ -38,6 +39,26 @@ def _bn(train: bool, name=None, dtype=None):
     )
 
 
+class _WPackedKernelConv(nn.Module):
+    """3x3 SAME conv2d on a W-packed image (see ops/conv3d_packed.wpack).
+    Param tree identical to the nn.Conv it replaces."""
+
+    features: int
+    group: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        ci = xp.shape[-1] // self.group
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, ci, self.features), jnp.float32,
+        )
+        return conv2d_wpacked(
+            xp.astype(self.dtype), kernel.astype(self.dtype), self.group
+        )
+
+
 class ConvBN(nn.Module):
     features: int
     kernel: int = 3
@@ -45,9 +66,20 @@ class ConvBN(nn.Module):
     dilation: int = 1
     dims: int = 2
     dtype: Any = jnp.float32
+    wpack: int = 0  # >0: input is W-packed with this group (2-D, k3 s1 only)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.wpack:
+            assert self.dims == 2 and self.kernel == 3
+            assert self.stride == 1 and self.dilation == 1
+            y = _WPackedKernelConv(
+                self.features, self.wpack, self.dtype, name="Conv_0"
+            )(x)
+            b, h, wg, gc = y.shape
+            y = y.reshape(b, h, wg, self.wpack, self.features)
+            y = _bn(train, dtype=self.dtype)(y)
+            return y.reshape(b, h, wg, gc)
         k = (self.kernel,) * self.dims
         pad = self.dilation * (self.kernel // 2)
         x = nn.Conv(
@@ -65,13 +97,18 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    wpack: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.wpack:
+            assert self.stride == 1 and self.dilation == 1 and not self.downsample
         out = nn.relu(
-            ConvBN(self.planes, 3, self.stride, self.dilation, dtype=self.dtype)(x, train)
+            ConvBN(self.planes, 3, self.stride, self.dilation, dtype=self.dtype,
+                   wpack=self.wpack)(x, train)
         )
-        out = ConvBN(self.planes, 3, 1, self.dilation, dtype=self.dtype)(out, train)
+        out = ConvBN(self.planes, 3, 1, self.dilation, dtype=self.dtype,
+                     wpack=self.wpack)(out, train)
         if self.downsample:
             x = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride,) * 2, use_bias=False,
@@ -88,35 +125,51 @@ class FeatureExtraction(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        for i, stride in enumerate([2, 1, 1]):
-            x = nn.relu(ConvBN(32, 3, stride, dtype=self.dtype)(x, train))
+        # stem conv1 native (C=3 input), then the half-res C=32 section runs
+        # W-PACKED (4 columns folded into channels): a C=32 NHWC tensor tiles
+        # to 32/128 lanes, so even its BN/relu fusions are 4x HBM traffic;
+        # packing is a pure reshape here since W is adjacent to C.
+        x = nn.relu(ConvBN(32, 3, 2, dtype=self.dtype, name="ConvBN_0")(x, train))
+        wp = 4 if x.shape[2] % 4 == 0 else 0
+        if wp:
+            x = wpack(x, wp)
+        x = nn.relu(ConvBN(32, 3, 1, dtype=self.dtype, wpack=wp, name="ConvBN_1")(x, train))
+        x = nn.relu(ConvBN(32, 3, 1, dtype=self.dtype, wpack=wp, name="ConvBN_2")(x, train))
 
-        def layer(x, planes, blocks, stride, dilation):
+        def layer(x, planes, blocks, stride, dilation, wpk=0):
+            ch = x.shape[-1] // (wpk or 1)
             x = BasicBlock(
                 planes, stride, dilation,
-                downsample=(stride != 1 or x.shape[-1] != planes), dtype=self.dtype,
+                downsample=(stride != 1 or ch != planes), dtype=self.dtype,
+                wpack=wpk,
             )(x, train)
             for _ in range(1, blocks):
-                x = BasicBlock(planes, 1, dilation, dtype=self.dtype)(x, train)
+                x = BasicBlock(planes, 1, dilation, dtype=self.dtype, wpack=wpk)(x, train)
             return x
 
-        x = layer(x, 32, 3, 1, 1)
+        x = layer(x, 32, 3, 1, 1, wpk=wp)
+        if wp:
+            x = wunpack(x, wp)
         raw = layer(x, 64, 16, 2, 1)  # 1/4 res
         x = layer(raw, 128, 3, 1, 1)
         skip = layer(x, 128, 3, 1, 2)  # dilated
 
         h, w = skip.shape[1], skip.shape[2]
         branches = [raw, skip]
-        for pool in (56, 32, 16, 8):
+        for bi, pool in enumerate((56, 32, 16, 8)):
             p = min(pool, h)
             y = nn.avg_pool(skip, (p, p), strides=(p, p))
-            y = nn.relu(ConvBN(32, 1, dtype=self.dtype)(y, train))
+            # explicit names continue the pre-wpack auto-numbering so
+            # checkpoints/importers are unaffected
+            y = nn.relu(
+                ConvBN(32, 1, dtype=self.dtype, name=f"ConvBN_{3 + bi}")(y, train)
+            )
             # reference upsamples SPP branches with align_corners=True
             # (submodule.py:120-133)
             y = bilinear_align_corners(y, (h, w))
             branches.append(y)
         x = jnp.concatenate(branches, axis=-1)  # 64+128+4*32 = 320
-        x = nn.relu(ConvBN(128, 3, dtype=self.dtype)(x, train))
+        x = nn.relu(ConvBN(128, 3, dtype=self.dtype, name="ConvBN_7")(x, train))
         return nn.Conv(32, (1, 1), use_bias=False, dtype=self.dtype)(x)
 
 
@@ -170,76 +223,120 @@ def build_cost_volume_packed(
         jnp.concatenate(slices[i : i + g], axis=-1)
         for i in range(0, len(slices), g)
     ]
-    return jnp.stack(groups, axis=1)
+    # rank-4 (B*Dg, H, W, G*2C): groups of the same image are consecutive
+    dg = len(groups)
+    return jnp.stack(groups, axis=1).reshape(b * dg, h, w, g * 2 * c)
 
 
 class _PackedKernelConv(nn.Module):
-    """conv3d (3x3x3, SAME, no bias, stride 1 or 2) on a depth-packed volume.
-    Param tree is identical to the nn.Conv it replaces (one "kernel"
-    (3,3,3,Ci,Co)); name it as that nn.Conv (e.g. "Conv_0") for
-    checkpoint/import compatibility."""
+    """conv3d (3x3x3, SAME, no bias, stride 1 or 2) on a RANK-4 depth-packed
+    volume (N=B*Dg, H, W, G*Ci). Param tree is identical to the nn.Conv it
+    replaces (one "kernel" (3,3,3,Ci,Co)); name it as that nn.Conv (e.g.
+    "Conv_0") for checkpoint/import compatibility."""
 
     features: int
     group: int
+    dg: int
     stride: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xp):
-        ci = xp.shape[-1] // self.group
+    def __call__(self, x4):
+        ci = x4.shape[-1] // self.group
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, 3, ci, self.features), jnp.float32,
         )
-        fn = conv3d_packed_resident if self.stride == 1 else conv3d_packed_strided
-        return fn(xp.astype(self.dtype), kernel.astype(self.dtype), self.group)
+        fn = conv3d_packed_r4 if self.stride == 1 else conv3d_packed_strided_r4
+        return fn(x4.astype(self.dtype), kernel.astype(self.dtype),
+                  self.group, self.dg)
 
 
 class _PackedDeconv(nn.Module):
-    """ConvTranspose3d(k=3, s=2, padding=(1,2)) on a depth-packed volume.
-    Param tree identical to flax ConvTranspose ("kernel" (3,3,3,Ci,Co))."""
+    """ConvTranspose3d(k=3, s=2, padding=(1,2)) on a rank-4 depth-packed
+    volume. Param tree identical to flax ConvTranspose ("kernel"
+    (3,3,3,Ci,Co))."""
 
     features: int
     group: int
+    dg: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xp):
-        ci = xp.shape[-1] // self.group
+    def __call__(self, x4):
+        ci = x4.shape[-1] // self.group
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, 3, ci, self.features), jnp.float32,
         )
-        return conv3d_packed_transposed(
-            xp.astype(self.dtype), kernel.astype(self.dtype), self.group
+        return conv3d_packed_transposed_r4(
+            x4.astype(self.dtype), kernel.astype(self.dtype), self.group, self.dg
         )
 
 
-def _packed_bn(y, g, c, train, dtype, name=None):
-    """BatchNorm on a packed volume via a (..., G, C) view: per-channel
-    statistics are bit-equal to the canonical layout, train and eval."""
-    b, dg, h, w, gc = y.shape
-    y = y.reshape(b, dg, h, w, g, c)
-    y = _bn(train, name=name, dtype=dtype)(y)
-    return y.reshape(b, dg, h, w, gc)
+class _PackedBN(nn.Module):
+    """BatchNorm over the true channel axis of a packed volume, applied with
+    G-tiled scale/shift so the tensor stays rank-4 and lane-aligned (a
+    (..., G, C) view re-tiles to (G-sublane, C-lane) — 4x padding for C=32).
+    Variable tree is identical to flax nn.BatchNorm (params scale/bias,
+    batch_stats mean/var, all (C,)); statistics match the canonical layout
+    exactly (the packing is a permutation of the reduction set)."""
+
+    features: int
+    group: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x4, train: bool = False):
+        c, g = self.features, self.group
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if train:
+            xf = x4.astype(jnp.float32)
+            m_gc = jnp.mean(xf, axis=(0, 1, 2)).reshape(g, c)
+            m2_gc = jnp.mean(xf * xf, axis=(0, 1, 2)).reshape(g, c)
+            mean = jnp.mean(m_gc, axis=0)
+            var = jnp.mean(m2_gc, axis=0) - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        add = bias - mean * mul
+        mul_t = jnp.tile(mul, g).astype(self.dtype)
+        add_t = jnp.tile(add, g).astype(self.dtype)
+        return x4.astype(self.dtype) * mul_t + add_t
 
 
 class PackedConvBN3d(nn.Module):
-    """ConvBN(dims=3, k=3, s=1|2) on a depth-packed volume (see
+    """ConvBN(dims=3, k=3, s=1|2) on a rank-4 depth-packed volume (see
     ops/conv3d_packed.py for why: 32-channel conv3d uses 32/128 MXU lanes)."""
 
     features: int
     group: int
+    dg: int
     stride: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xp, train: bool = False):
+    def __call__(self, x4, train: bool = False):
         y = _PackedKernelConv(
-            self.features, self.group, self.stride, self.dtype, name="Conv_0"
-        )(xp)
+            self.features, self.group, self.dg, self.stride, self.dtype,
+            name="Conv_0",
+        )(x4)
         g_out = self.group if self.stride == 1 else max(self.group // 2, 1)
-        return _packed_bn(y, g_out, self.features, train, self.dtype)
+        return _PackedBN(
+            self.features, g_out, dtype=self.dtype, name="BatchNorm_0"
+        )(y, train)
 
 
 class Hourglass(nn.Module):
@@ -255,29 +352,30 @@ class Hourglass(nn.Module):
     planes: int
     dtype: Any = jnp.float32
     packed_group: int = 0
+    packed_dg: int = 0
 
     @nn.compact
     def __call__(self, x, presqu, postsqu, train: bool = False):
         p2 = self.planes * 2
         if self.packed_group:
-            g = self.packed_group  # e.g. 4 at full res (C=32)
+            g, dg = self.packed_group, self.packed_dg  # e.g. 4, D/4 at full res
             out = nn.relu(
-                PackedConvBN3d(p2, g, 2, self.dtype, name="ConvBN_0")(x, train)
+                PackedConvBN3d(p2, g, dg, 2, self.dtype, name="ConvBN_0")(x, train)
             )  # half res, group g/2
-            pre = PackedConvBN3d(p2, g // 2, 1, self.dtype, name="ConvBN_1")(out, train)
+            pre = PackedConvBN3d(p2, g // 2, dg, 1, self.dtype, name="ConvBN_1")(out, train)
             pre = nn.relu(pre + postsqu) if postsqu is not None else nn.relu(pre)
             out = nn.relu(
-                PackedConvBN3d(p2, g // 2, 2, self.dtype, name="ConvBN_2")(pre, train)
+                PackedConvBN3d(p2, g // 2, dg, 2, self.dtype, name="ConvBN_2")(pre, train)
             )  # quarter res, group g/4 (>=1)
             gq = max(g // 4, 1)
             out = nn.relu(
-                PackedConvBN3d(p2, gq, 1, self.dtype, name="ConvBN_3")(out, train)
+                PackedConvBN3d(p2, gq, dg, 1, self.dtype, name="ConvBN_3")(out, train)
             )
-            up1 = _PackedDeconv(p2, gq, self.dtype, name="ConvTranspose_0")(out)
-            up1 = _packed_bn(up1, 2 * gq, p2, train, self.dtype, name="BatchNorm_0")
+            up1 = _PackedDeconv(p2, gq, dg, self.dtype, name="ConvTranspose_0")(out)
+            up1 = _PackedBN(p2, 2 * gq, dtype=self.dtype, name="BatchNorm_0")(up1, train)
             post = nn.relu(up1 + (presqu if presqu is not None else pre))
-            up2 = _PackedDeconv(self.planes, g // 2, self.dtype, name="ConvTranspose_1")(post)
-            up2 = _packed_bn(up2, g, self.planes, train, self.dtype, name="BatchNorm_1")
+            up2 = _PackedDeconv(self.planes, g // 2, dg, self.dtype, name="ConvTranspose_1")(post)
+            up2 = _PackedBN(self.planes, g, dtype=self.dtype, name="BatchNorm_1")(up2, train)
             return up2, pre, post
         out = nn.relu(ConvBN(p2, 3, 2, dims=3, dtype=self.dtype)(x, train))  # 1/8
         pre = ConvBN(p2, 3, 1, dims=3, dtype=self.dtype)(out, train)
@@ -372,16 +470,18 @@ class PSMNet(nn.Module):
         # becomes HBM copies). Math identical — see ops/conv3d_packed.py.
         assert d4 % 4 == 0, "disparity range must be a multiple of 16"
         G = 4
+        dg = d4 // G
         costp = build_cost_volume_packed(
             lf, rf, self.mindisp // 4, self.maxdisp // 4, G
         )
-        x = nn.relu(PackedConvBN3d(32, G, dtype=self.dtype, name="dres0_0")(costp, train))
-        x = nn.relu(PackedConvBN3d(32, G, dtype=self.dtype, name="dres0_1")(x, train))
-        y = nn.relu(PackedConvBN3d(32, G, dtype=self.dtype, name="dres1_0")(x, train))
-        y = PackedConvBN3d(32, G, dtype=self.dtype, name="dres1_1")(y, train)
+        pc = partial(PackedConvBN3d, group=G, dg=dg, dtype=self.dtype)
+        x = nn.relu(pc(32, name="dres0_0")(costp, train))
+        x = nn.relu(pc(32, name="dres0_1")(x, train))
+        y = nn.relu(pc(32, name="dres1_0")(x, train))
+        y = pc(32, name="dres1_1")(y, train)
         cost0p = y + x
 
-        hg = partial(Hourglass, 32, dtype=self.dtype, packed_group=G)
+        hg = partial(Hourglass, 32, dtype=self.dtype, packed_group=G, packed_dg=dg)
         out1, pre1, post1 = hg(name="dres2")(cost0p, None, None, train)
         out1 = out1 + cost0p
         out2, pre2, post2 = hg(name="dres3")(out1, pre1, post1, train)
@@ -389,15 +489,18 @@ class PSMNet(nn.Module):
         out3, pre3, post3 = hg(name="dres4")(out2, pre1, post2, train)
         out3 = out3 + cost0p
 
+        h4, w4 = costp.shape[1], costp.shape[2]
+
         def classif(zp, name):
-            zp = nn.relu(
-                PackedConvBN3d(32, G, dtype=self.dtype, name=f"{name}_0")(zp, train)
-            )
+            zp = nn.relu(pc(32, name=f"{name}_0")(zp, train))
             # Co=1: repack to G=D so the final conv has D output lanes
-            # instead of 1; result is channels-last disparity (B, H, W, D)
-            zp = repack_depth(zp, G, d4)
-            out = _PackedKernelConv(1, d4, dtype=self.dtype, name=f"{name}_1")(zp)
-            return out[:, 0]  # (B, H, W, D)
+            # instead of 1 (slice-major channel order kept: (dg, g, c))
+            zc = zp.reshape(b, dg, h4, w4, G * 32)
+            zc = zc.transpose(0, 2, 3, 1, 4).reshape(b, h4, w4, d4 * 32)
+            out = _PackedKernelConv(
+                1, d4, 1, dtype=self.dtype, name=f"{name}_1"
+            )(zc)
+            return out  # (B, H, W, D) channels-last disparity
 
         cost1 = classif(out1, "classif1")
         cost2 = classif(out2, "classif2") + cost1

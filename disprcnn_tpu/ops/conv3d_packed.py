@@ -202,6 +202,119 @@ def conv3d_packed_transposed(
     return y.reshape(b, dg, 2 * h, 2 * w, 2 * g * co)
 
 
+def _shift_groups(x4: jnp.ndarray, dg: int, ci: int, direction: int) -> jnp.ndarray:
+    """Neighbour-group channel halo on a rank-4 packed volume
+    (N=B*Dg, H, W, G*Ci). direction=-1: previous group's last slice;
+    +1: next group's first slice. Zeros at depth boundaries (SAME padding).
+
+    Rank-4 throughout: mixing rank-5 (B, Dg, ...) views with the rank-4
+    conv operands makes XLA materialize a layout copy per conv (measured
+    ~1.7 ms/conv of pure copies)."""
+    n = x4.shape[0]
+    gi = jnp.arange(n) % dg
+    if direction < 0:
+        h = jnp.concatenate(
+            [jnp.zeros_like(x4[:1, :, :, -ci:]), x4[:-1, :, :, -ci:]], axis=0
+        )
+        edge = (gi == 0)[:, None, None, None]
+    else:
+        h = jnp.concatenate(
+            [x4[1:, :, :, :ci], jnp.zeros_like(x4[:1, :, :, :ci])], axis=0
+        )
+        edge = (gi == dg - 1)[:, None, None, None]
+    return jnp.where(edge, jnp.zeros((), x4.dtype), h)
+
+
+def conv3d_packed_r4(
+    x4: jnp.ndarray, kernel: jnp.ndarray, g: int, dg: int
+) -> jnp.ndarray:
+    """Stride-1 SAME conv3d on a rank-4 packed volume -> same rank/packing."""
+    ci = kernel.shape[3]
+    win = jnp.concatenate(
+        [_shift_groups(x4, dg, ci, -1), x4, _shift_groups(x4, dg, ci, +1)],
+        axis=-1,
+    )
+    kh, kw = kernel.shape[1], kernel.shape[2]
+    return jax.lax.conv_general_dilated(
+        win, pack_kernel(kernel, g), (1, 1),
+        [(kh // 2,) * 2, (kw // 2,) * 2],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def conv3d_packed_strided_r4(
+    x4: jnp.ndarray, kernel: jnp.ndarray, g: int, dg: int
+) -> jnp.ndarray:
+    """Stride-2 pad-1 conv3d on a rank-4 packed volume: (N, H, W, G*Ci) ->
+    (N, H/2, W/2, (G/2)*Co)."""
+    ci = kernel.shape[3]
+    win = jnp.concatenate([_shift_groups(x4, dg, ci, -1), x4], axis=-1)
+    return jax.lax.conv_general_dilated(
+        win, pack_kernel_strided(kernel, g), (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def conv3d_packed_transposed_r4(
+    x4: jnp.ndarray, kernel: jnp.ndarray, g: int, dg: int
+) -> jnp.ndarray:
+    """ConvTranspose3d(k3, s2, p(1,2)) on a rank-4 packed volume: (N, H, W,
+    G*Ci) -> (N, 2H, 2W, 2G*Co)."""
+    ci = kernel.shape[3]
+    win = jnp.concatenate([x4, _shift_groups(x4, dg, ci, +1)], axis=-1)
+    return jax.lax.conv_transpose(
+        win, pack_kernel_transposed(kernel, g), (2, 2), ((1, 2), (1, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=False,
+    )
+
+
+def wpack(x: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W/G, G*C). W is adjacent to C in NHWC, so this
+    is a pure reshape (no transpose) — and the packed tensor tiles
+    lane-perfectly when G*C >= 128 (a C=32 tensor pads 32 -> 128 lanes: 4x
+    wasted HBM bandwidth on every op that touches it)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // g, g * c)
+
+
+def wunpack(x: jnp.ndarray, g: int) -> jnp.ndarray:
+    b, h, wg, gc = x.shape
+    return x.reshape(b, h, wg * g, gc // g)
+
+
+def pack_kernel_w(kernel: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(kh, 3, Ci, Co) -> (kh, 1, (G+2)Ci, G*Co): the kw taps move into the
+    channel banding (same scheme as pack_kernel, one spatial dim fewer)."""
+    kh, kw, ci, co = kernel.shape
+    assert kw == 3
+    wp = jnp.zeros((kh, 1, (g + 2) * ci, g * co), kernel.dtype)
+    for j in range(g):
+        for t in range(kw):
+            wp = wp.at[:, :, (j + t) * ci : (j + t + 1) * ci,
+                       j * co : (j + 1) * co].set(kernel[:, t : t + 1])
+    return wp
+
+
+def conv2d_wpacked(
+    xp: jnp.ndarray,  # (B, H, Wg, G*Ci) W-packed
+    kernel: jnp.ndarray,  # (kh, 3, Ci, Co)
+    g: int,
+) -> jnp.ndarray:
+    """3x3 SAME stride-1 conv2d on a W-packed image -> (B, H, Wg, G*Co)."""
+    b, h, wg, gci = xp.shape
+    ci, co = kernel.shape[2], kernel.shape[3]
+    assert gci == g * ci
+    prev = jnp.pad(xp[:, :, :-1, -ci:], ((0, 0), (0, 0), (1, 0), (0, 0)))
+    nxt = jnp.pad(xp[:, :, 1:, :ci], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    win = jnp.concatenate([prev, xp, nxt], axis=-1)
+    wp = pack_kernel_w(kernel, g)
+    kh = kernel.shape[0]
+    return jax.lax.conv_general_dilated(
+        win, wp, (1, 1), [(kh // 2,) * 2, (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class PackedConv3d(nn.Module):
     """Drop-in for `nn.Conv(features, (3,3,3), padding=SAME, use_bias=False)`
     with the depth-packed lowering. Param tree is identical to nn.Conv

@@ -1,0 +1,162 @@
+"""Depth-packed conv3d lowering vs naive lax conv3d oracles.
+
+The packed path (ops/conv3d_packed.py) claims to be an exact re-lay-out of
+SAME 3x3x3 conv3d / stride-2 conv3d / ConvTranspose3d(k3,s2,p=(1,2)) — the
+reference PSMNet trunk ops (stackhourglass.py:130-144, submodule.py:160-170).
+These tests pin that claim, for both the rank-5 (B, Dg, H, W, G*C) layout and
+the rank-4 (B*Dg, H, W, G*C) layout the model now uses, with B>1 so the
+group-halo shifts are checked across image boundaries.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from disprcnn_tpu.ops.conv3d_packed import (
+    conv2d_wpacked, conv3d_packed, conv3d_packed_r4, conv3d_packed_resident,
+    conv3d_packed_strided, conv3d_packed_strided_r4, conv3d_packed_transposed,
+    conv3d_packed_transposed_r4, pack_depth, repack_depth, unpack_depth,
+    wpack, wunpack,
+)
+
+B, D, H, W, CI, CO, G = 2, 8, 6, 10, 5, 7, 4
+DG = D // G
+
+
+@pytest.fixture(scope="module")
+def vol():
+    k = jax.random.split(jax.random.PRNGKey(0), 2)
+    x = jax.random.normal(k[0], (B, D, H, W, CI))
+    kern = jax.random.normal(k[1], (3, 3, 3, CI, CO))
+    return x, kern
+
+
+def naive3d(x, kern, stride=1):
+    return jax.lax.conv_general_dilated(
+        x, kern, (stride,) * 3, [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def to_r4(xp):
+    b, dg, h, w, gc = xp.shape
+    return xp.reshape(b * dg, h, w, gc)
+
+
+def from_r4(x4, b):
+    n, h, w, gc = x4.shape
+    return x4.reshape(b, n // b, h, w, gc)
+
+
+def test_pack_roundtrip(vol):
+    x, _ = vol
+    xp = pack_depth(x, G)
+    np.testing.assert_array_equal(unpack_depth(xp, G), x)
+    np.testing.assert_array_equal(unpack_depth(repack_depth(xp, G, 2), 2), x)
+
+
+def test_conv3d_packed_matches_naive(vol):
+    x, kern = vol
+    np.testing.assert_allclose(
+        conv3d_packed(x, kern, G), naive3d(x, kern), rtol=1e-5, atol=1e-5)
+
+
+def test_resident_and_r4_match_naive(vol):
+    x, kern = vol
+    want = pack_depth(naive3d(x, kern), G)
+    xp = pack_depth(x, G)
+    got5 = conv3d_packed_resident(xp, kern, G)
+    np.testing.assert_allclose(got5, want, rtol=1e-5, atol=1e-5)
+    got4 = conv3d_packed_r4(to_r4(xp), kern, G, DG)
+    np.testing.assert_allclose(from_r4(got4, B), want, rtol=1e-5, atol=1e-5)
+
+
+def test_strided_and_r4_match_naive(vol):
+    x, kern = vol
+    want = pack_depth(naive3d(x, kern, stride=2), G // 2)
+    xp = pack_depth(x, G)
+    got5 = conv3d_packed_strided(xp, kern, G)
+    np.testing.assert_allclose(got5, want, rtol=1e-5, atol=1e-5)
+    got4 = conv3d_packed_strided_r4(to_r4(xp), kern, G, DG)
+    np.testing.assert_allclose(from_r4(got4, B), want, rtol=1e-5, atol=1e-5)
+
+
+def naive_transpose3d(x, kern):
+    """flax-semantics ConvTranspose3d(k3, s2, padding=(1,2)) oracle."""
+    return jax.lax.conv_transpose(
+        x, kern, (2, 2, 2), ((1, 2),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), transpose_kernel=False)
+
+
+def test_transposed_and_r4_match_naive(vol):
+    x, kern = vol
+    xh = x[:, : D // 2]  # half-depth input, as in the hourglass up path
+    want = pack_depth(naive_transpose3d(xh, kern), 2 * (G // 2))
+    xp = pack_depth(xh, G // 2)
+    got5 = conv3d_packed_transposed(xp, kern, G // 2)
+    np.testing.assert_allclose(got5, want, rtol=1e-5, atol=1e-5)
+    got4 = conv3d_packed_transposed_r4(to_r4(xp), kern, G // 2, (D // 2) // (G // 2))
+    np.testing.assert_allclose(from_r4(got4, B), want, rtol=1e-5, atol=1e-5)
+
+
+def test_conv2d_wpacked_matches_naive():
+    k = jax.random.split(jax.random.PRNGKey(3), 2)
+    x = jax.random.normal(k[0], (2, 6, 12, 5))
+    kern = jax.random.normal(k[1], (3, 3, 5, 7))
+    want = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = wunpack(conv2d_wpacked(wpack(x, 4), kern, 4), 4)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(wunpack(wpack(x, 4), 4), x)
+
+
+def test_packed_hourglass_matches_unpacked():
+    """Hourglass packed_group path vs the canonical rank-5 path, sharing one
+    param tree (they are declared checkpoint-compatible)."""
+    from disprcnn_tpu.models.psmnet.psmnet import Hourglass
+
+    p = 6
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, D, 8, 16, p))
+    packed = Hourglass(p, packed_group=G, packed_dg=DG)
+    plain = Hourglass(p)
+    xp4 = to_r4(pack_depth(x, G))
+    variables = packed.init(jax.random.PRNGKey(6), xp4, None, None, False)
+    out_p, pre_p, post_p = packed.apply(variables, xp4, None, None, False)
+    out, pre, post = plain.apply(variables, x, None, None, False)
+    np.testing.assert_allclose(
+        unpack_depth(from_r4(out_p, 2), G), out, rtol=1e-4, atol=1e-4)
+    # pre: half-res (group G/2); post: half-res too
+    np.testing.assert_allclose(
+        unpack_depth(from_r4(pre_p, 2), G // 2), pre, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        unpack_depth(from_r4(post_p, 2), G // 2), post, rtol=1e-4, atol=1e-4)
+
+
+def test_packed_bn_matches_flax():
+    import flax.linen as nn
+
+    from disprcnn_tpu.models.psmnet.psmnet import _PackedBN
+
+    c = 5
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, D, H, W, c))
+    xp4 = to_r4(pack_depth(x, G))
+    bn_p = _PackedBN(c, G)
+    variables = bn_p.init(jax.random.PRNGKey(8), xp4, True)
+    # randomize stats/params so eval isn't trivially identity
+    variables = jax.tree.map(
+        lambda a: a + 0.3 * jax.random.normal(jax.random.PRNGKey(9), a.shape),
+        variables)
+    variables["batch_stats"]["var"] = jnp.abs(variables["batch_stats"]["var"]) + 0.1
+
+    bn = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    for train in (True, False):
+        got, mut_p = bn_p.apply(variables, xp4, train, mutable=["batch_stats"])
+        want, mut = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5
+        ).apply(variables, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(
+            unpack_depth(from_r4(got, 2), G), want, rtol=1e-5, atol=1e-5)
+        if train:
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+                mut_p["batch_stats"], mut["batch_stats"])
