@@ -148,6 +148,7 @@ def build_detection_model(cfg):
             max_roi_train=max_roi_train,
             sa_npoints=tuple(cfg.MODEL.POINTRCNN.RPN.SA_CONFIG.NPOINTS),
             rpn_loss_cls=cfg.MODEL.POINTRCNN.RPN.LOSS_CLS,
+            rcnn_loss_cls=cfg.MODEL.POINTRCNN.RCNN.LOSS_CLS,
             rpn_score_thresh=cfg.MODEL.POINTRCNN.RPN.SCORE_THRESH,
             aug_data=cfg.MODEL.POINTRCNN.AUG_DATA,
             fg_aug_times=cfg.MODEL.POINTRCNN.RCNN.ROI_FG_AUG_TIMES,

@@ -122,6 +122,7 @@ class DispRCNN3D(nn.Module):
     rcnn_rois_per_instance: int = 16
     sa_npoints: Tuple[int, ...] = (768, 512, 256, 64)  # rpn.yaml:15 SA_CONFIG
     rpn_loss_cls: str = "BinaryCrossEntropy"
+    rcnn_loss_cls: str = "BinaryCrossEntropy"
     rpn_score_thresh: float = 0.3
     aug_data: bool = True  # POINTRCNN.AUG_DATA
     fg_aug_times: int = 10  # RCNN.ROI_FG_AUG_TIMES
@@ -254,6 +255,7 @@ class DispRCNN3D(nn.Module):
             rcnn_enabled=self.rcnn_enabled, proposals_per_roi=self.proposals_per_roi,
             rcnn_rois_per_instance=self.rcnn_rois_per_instance,
             sa_npoints=self.sa_npoints, rpn_loss_cls=self.rpn_loss_cls,
+            rcnn_loss_cls=self.rcnn_loss_cls,
             rpn_score_thresh=self.rpn_score_thresh,
             aug_data=self.aug_data, fg_aug_times=self.fg_aug_times,
             aug_rot_range=self.aug_rot_range,

@@ -38,6 +38,7 @@ class PointRCNN(nn.Module):
     rcnn_num_points: int = 512
     rcnn_rois_per_instance: int = 16
     rcnn_score_thresh: float = 0.1
+    rcnn_loss_cls: str = "BinaryCrossEntropy"  # RCNN.LOSS_CLS
     # train-time augmentation (POINTRCNN.AUG_DATA / RCNN.ROI_FG_AUG_TIMES /
     # AUG_ROT_RANGE)
     aug_data: bool = True
@@ -120,6 +121,7 @@ class PointRCNN(nn.Module):
             out["loss_box3d"] = rcnn3d.rcnn_loss(
                 cls_pred, reg_pred, cls_label.reshape(-1),
                 reg_mask.reshape(-1), gt_ct.reshape(-1, 7), anchor,
+                loss_cls=self.rcnn_loss_cls,
             )
             return out
 

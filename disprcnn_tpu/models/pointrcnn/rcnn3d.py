@@ -386,12 +386,29 @@ def rcnn_loss(
     reg_mask: jnp.ndarray,  # (B,)
     gt_ct: jnp.ndarray,  # (B, 7) canonical gt
     anchor_size: jnp.ndarray,
+    loss_cls: str = "BinaryCrossEntropy",  # RCNN.LOSS_CLS (rcnn_loss.py:12-20)
+    focal_alpha: float = 0.25,
+    focal_gamma: float = 2.0,
 ):
+    """RCNN stage loss (reference rcnn_loss.py:27-134). All shipped configs
+    use BinaryCrossEntropy; SigmoidFocalLoss is registry-reachable (the
+    reference's CrossEntropy branch references an undefined `cls_valid_mask`
+    — a latent NameError — so it is intentionally not reproduced). The
+    reference has NO corner loss (grep: none in rcnn_loss.py/loss_utils.py,
+    unlike upstream PointRCNN)."""
     p = jax.nn.sigmoid(cls_pred)
     t = (cls_label > 0).astype(p.dtype)
     care = (cls_label >= 0).astype(p.dtype)
-    bce = -(t * jnp.log(jnp.clip(p, 1e-12)) + (1 - t) * jnp.log(jnp.clip(1 - p, 1e-12)))
-    cls_l = jnp.sum(bce * care) / jnp.maximum(jnp.sum(care), 1.0)
+    if loss_cls == "SigmoidFocalLoss":
+        # reference: weights = (pos+neg)/clamp(pos.sum(), 1); loss.sum()
+        # (rcnn_loss.py:57-72) — normalized by foreground count
+        from ...ops.losses import sigmoid_focal_loss_binary
+
+        raw = sigmoid_focal_loss_binary(cls_pred, t, focal_gamma, focal_alpha)
+        cls_l = jnp.sum(raw * care) / jnp.maximum(jnp.sum(t * care), 1.0)
+    else:  # BinaryCrossEntropy (rcnn_loss.py:74-79)
+        bce = -(t * jnp.log(jnp.clip(p, 1e-12)) + (1 - t) * jnp.log(jnp.clip(1 - p, 1e-12)))
+        cls_l = jnp.sum(bce * care) / jnp.maximum(jnp.sum(care), 1.0)
     loc, angle, size = codec.reg_loss(
         reg_pred, gt_ct, reg_mask.astype(p.dtype), anchor_size, RCNN_CODEC
     )

@@ -9,6 +9,7 @@ distributions (proposal_target_layer.py:219-348):
   is +-5%, flip mirrors x and remaps ry.
 - prepare_rcnn_train_inputs: shapes, finite outputs, label domain.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +22,7 @@ def _box(x=0.0, y=1.0, z=10.0, h=1.5, w=1.6, l=3.9, ry=0.3):
     return jnp.asarray([x, y, z, h, w, l, ry], jnp.float32)
 
 
+@pytest.mark.slow
 def test_aug_roi_by_noise_fg_threshold():
     key = jax.random.PRNGKey(0)
     n = 64
@@ -42,6 +44,7 @@ def test_aug_roi_by_noise_fg_threshold():
     assert changed > 0.2
 
 
+@pytest.mark.slow
 def test_aug_roi_by_noise_bg_single_trial():
     key = jax.random.PRNGKey(1)
     n = 256
@@ -102,6 +105,7 @@ def test_data_augmentation_alpha_and_ranges():
     assert float(jnp.min(dsel)) >= -np.pi / 18 - 1e-4
 
 
+@pytest.mark.slow
 def test_prepare_rcnn_train_inputs_shapes_and_labels():
     key = jax.random.PRNGKey(3)
     r, m, n, k, p = 4, 8, 128, 6, 64
@@ -129,3 +133,29 @@ def test_prepare_rcnn_train_inputs_shapes_and_labels():
     # near-gt rois must yield some positives
     assert int(jnp.sum(cls_label == 1.0)) > 0
     assert int(jnp.sum(reg_mask)) > 0
+
+
+def test_rcnn_loss_cls_variants():
+    """RCNN LOSS_CLS dispatch (rcnn_loss.py:12-20): focal normalizes by fg
+    count and down-weights easy examples; BCE normalizes by cared count;
+    ignored (-1) labels contribute to neither."""
+    import jax
+    import jax.numpy as jnp
+
+    k = jax.random.PRNGKey(0)
+    b = 32
+    cls_pred = jax.random.normal(k, (b,))
+    reg_pred = jnp.zeros((b, 52))
+    cls_label = jnp.asarray([1.0, 0.0, -1.0, 1.0] * (b // 4))
+    reg_mask = (cls_label > 0)
+    gt_ct = jnp.zeros((b, 7))
+    anchor = jnp.asarray([1.5, 1.6, 3.9])
+    args = (cls_pred, reg_pred, cls_label, reg_mask, gt_ct, anchor)
+    l_bce = rcnn3d.rcnn_loss(*args, loss_cls="BinaryCrossEntropy")
+    l_foc = rcnn3d.rcnn_loss(*args, loss_cls="SigmoidFocalLoss")
+    assert jnp.isfinite(l_bce) and jnp.isfinite(l_foc)
+    assert float(l_bce) != float(l_foc)
+    # ignored entries must not change the loss
+    cls2 = cls_pred.at[2].set(100.0)  # label -1 slot
+    l_bce2 = rcnn3d.rcnn_loss(cls2, *args[1:], loss_cls="BinaryCrossEntropy")
+    assert abs(float(l_bce2) - float(l_bce)) < 1e-6

@@ -41,6 +41,7 @@ def test_mono_generalized_rcnn_fpn_eval():
     assert dets.xyxy.shape == (1, 4, 4)
 
 
+@pytest.mark.slow
 def test_mono_generalized_rcnn_c4_eval():
     cfg = _tiny_common(get_default_cfg())
     cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
@@ -83,6 +84,7 @@ def test_mono_generalized_rcnn_c4_train_losses():
         assert k in out and jnp.isfinite(out[k])
 
 
+@pytest.mark.slow
 def test_retinanet_eval_and_train():
     cfg = _tiny_common(get_default_cfg())
     cfg.MODEL.RETINANET_ON = True

@@ -40,6 +40,7 @@ def test_conv_linear_bn_conversion(tmp_path, rng):
     assert fc.shape == (2048, 2)
 
 
+@pytest.mark.slow
 def test_import_into_model_matches_shapes():
     """Converted stem/FPN keys must match the flax DispRCNN param tree shapes."""
     import jax
