@@ -84,13 +84,16 @@ def main(pairs: int = 1):
     v2d = jax.device_put(v2d, dev)
     v3d = jax.device_put(v3d, dev)
     calib = jax.device_put(calib, dev)
-    left = jax.device_put(
-        jnp.asarray(np.random.default_rng(0).uniform(0, 1, (p, h, w, 3)), jnp.float32),
-        dev,
-    )
+    # realistic activation statistics: BGR255 mean-subtracted input, exactly
+    # what data/transforms.py Normalize feeds the 2D detector (raw [0,1]
+    # input shifts NMS/score occupancy and with it the measured timing)
+    pixel_mean = np.asarray([102.9801, 115.9465, 122.7717], np.float32)
+    raw01 = np.random.default_rng(0).uniform(0, 1, (p, h, w, 3)).astype(np.float32)
+    left = jax.device_put(jnp.asarray(raw01[..., ::-1] * 255.0 - pixel_mean), dev)
+    left_raw = jax.device_put(jnp.asarray(raw01), dev)  # 3D stage crops raw rgb
 
     @jax.jit
-    def pipeline(v2d, v3d, left, right):
+    def pipeline(v2d, v3d, left, right, left_raw, right_raw):
         out2d = model2d.apply(v2d, left, right, train=False)
         dets = out2d["detections"]
         dets = StereoBoxes(
@@ -98,7 +101,7 @@ def main(pairs: int = 1):
             fields={"mask": out2d["masks"]},
         )
         out3d = model3d.apply(
-            v3d, left, right, dets, calib, train=False,
+            v3d, left_raw, right_raw, dets, calib, train=False,
             rngs={"sampling": jax.random.PRNGKey(7)},
         )
         return dets.left, dets.score, out3d["box3d"], out3d["score3d"]
@@ -107,16 +110,16 @@ def main(pairs: int = 1):
     # a 22 ms matmul "completes" in 0.08 ms) — a host scalar readback is the
     # only reliable sync, so the pipeline is folded to one f32 for timing.
     @jax.jit
-    def pipeline_scalar(v2d, v3d, left, right):
-        out = pipeline(v2d, v3d, left, right)
+    def pipeline_scalar(v2d, v3d, left, right, left_raw, right_raw):
+        out = pipeline(v2d, v3d, left, right, left_raw, right_raw)
         return sum(jnp.sum(o).astype(jnp.float32) for o in out)
 
-    float(pipeline_scalar(v2d, v3d, left, left))  # compile + warm
+    float(pipeline_scalar(v2d, v3d, left, left, left_raw, left_raw))  # compile + warm
 
     n_iter = 20
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        s = pipeline_scalar(v2d, v3d, left, left)
+        s = pipeline_scalar(v2d, v3d, left, left, left_raw, left_raw)
     _ = float(s)  # forces completion of the whole in-order queue
     dt = time.perf_counter() - t0
     pairs_per_sec = n_iter * p / dt

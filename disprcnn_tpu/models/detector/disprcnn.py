@@ -124,12 +124,10 @@ class DispRCNN(nn.Module):
         out = {}
         pre_nms = self.pre_nms_top_n_train if train else self.pre_nms_top_n_test
         post_nms = self.post_nms_top_n_train if train else self.post_nms_top_n_test
-        proposals = jax.vmap(
-            lambda o, d: stereo_rpn.postprocess(
-                anchors, o, d, (img_h, img_w), pre_nms, post_nms,
-                self.rpn_nms_thresh, self.rpn_min_size,
-            )
-        )(obj_logits, deltas)  # StereoBoxes with leading batch axis
+        proposals = stereo_rpn.postprocess_batched(
+            anchors, obj_logits, deltas, (img_h, img_w), pre_nms, post_nms,
+            self.rpn_nms_thresh, self.rpn_min_size,
+        )  # StereoBoxes with leading batch axis
 
         if train:
             rpn_key = self.make_rng("sampling")

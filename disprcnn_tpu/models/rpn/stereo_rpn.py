@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ...ops import pairwise_iou
 from ...ops.losses import smooth_l1
-from ...ops.nms import double_view_nms_topk
+from ...ops.nms import double_view_nms_topk, double_view_nms_topk_batched
 from ...structures.stereo import StereoBoxes
 from . import box_coder
 from .matcher import balanced_sample, match
@@ -99,6 +99,47 @@ def postprocess(
     )
     return StereoBoxes(
         left=left[idx], right=right[idx], score=top_scores[idx], valid=ok
+    )
+
+
+def postprocess_batched(
+    anchors: jnp.ndarray,  # (N_tot, 4)
+    obj_logits: jnp.ndarray,  # (B, N_tot, 2)
+    deltas: jnp.ndarray,  # (B, N_tot, 6)
+    image_hw: Tuple[int, int],
+    pre_nms_top_n: int,
+    post_nms_top_n: int,
+    nms_thresh: float,
+    min_size: float,
+) -> StereoBoxes:
+    """Natively-batched `postprocess` (identical per-image outputs).
+
+    jax.vmap over the per-image version turns `x[idx]` gathers into generic
+    batched gathers that run ~5x slower on TPU (13.9 -> 2.7 ms at N=6000);
+    this spells them as take_along_axis and uses the batched NMS."""
+    bsz = obj_logits.shape[0]
+    scores = jax.nn.softmax(obj_logits, axis=-1)[..., 1]  # (B, N)
+    k = min(pre_nms_top_n, anchors.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k)  # (B, k)
+    d = jnp.take_along_axis(deltas, top_idx[..., None], axis=1)
+    a = jnp.take(anchors, top_idx, axis=0)  # (B, k, 4)
+    box6 = box_coder.decode6(d.reshape(-1, 6), a.reshape(-1, 4))
+    left, right = box_coder.split_stereo(box6)
+    left = left.reshape(bsz, k, 4)
+    right = right.reshape(bsz, k, 4)
+    h, w = image_hw
+    lims = jnp.asarray([w - 1.0, h - 1.0, w - 1.0, h - 1.0])
+    clip = lambda b: jnp.clip(b, jnp.zeros((4,)), lims)
+    left, right = clip(left), clip(right)
+    big = lambda b: (b[..., 2] - b[..., 0] >= min_size) & (b[..., 3] - b[..., 1] >= min_size)
+    valid = big(left) & big(right)
+    idx, ok = double_view_nms_topk_batched(
+        left, right, top_scores, valid, nms_thresh, post_nms_top_n
+    )
+    take3 = lambda x: jnp.take_along_axis(x, idx[..., None], axis=1)
+    return StereoBoxes(
+        left=take3(left), right=take3(right),
+        score=jnp.take_along_axis(top_scores, idx, axis=1), valid=ok,
     )
 
 

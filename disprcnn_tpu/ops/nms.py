@@ -24,6 +24,14 @@ from .iou import pairwise_bev_iou, pairwise_iou
 _NEG = -1e10
 
 
+def _use_pallas_nms(n: int) -> bool:
+    """Route large-N greedy NMS to the VMEM Pallas kernel on TPU. The IoU-
+    matrix fixpoint is fine for small N and on CPU; at N=6000 its data-
+    dependent pass count over a 144 MB matrix costs up to ~12 ms, while the
+    kernel is ~0.2 ms flat (ops/pallas/nms.py)."""
+    return n >= 1024 and jax.default_backend() == "tpu"
+
+
 def _greedy_keep(iou: jnp.ndarray, valid_sorted: jnp.ndarray, thresh: float) -> jnp.ndarray:
     """Greedy suppression over a score-ordered IoU matrix, as a FIXPOINT
     iteration instead of an N-step sequential loop.
@@ -151,6 +159,11 @@ def nms_topk(
     """
     order = jnp.argsort(jnp.where(valid, scores, _NEG), descending=True, stable=True)
     b = boxes[order]
+    if _use_pallas_nms(boxes.shape[0]):
+        from .pallas.nms import nms_sorted_pallas
+
+        pos, ok = nms_sorted_pallas(b, valid[order], k, iou_thresh, to_remove)
+        return order[pos], ok
     iou = pairwise_iou(b, b, to_remove=to_remove)
     keep_sorted = _greedy_keep(iou, valid[order], iou_thresh)
     # first k survivors in score order
@@ -219,3 +232,98 @@ def batched_class_nms_mask(
     span = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + to_remove + 1.0
     offset = labels.astype(boxes.dtype)[:, None] * span
     return nms_mask(boxes + offset, scores, valid, iou_thresh, to_remove=to_remove)
+
+
+# ----------------------------------------------------------------------------
+# Natively-batched variants. Wrapping the per-image functions in jax.vmap
+# makes the fancy-index gathers (`boxes[order]`) lower to generic batched
+# gathers that run ~5x slower on TPU (measured: the vmapped SRPN postprocess
+# costs 13.9 ms vs 2.7 ms unbatched at N=6000). These express the same
+# greedy semantics with take_along_axis + einsum, which tile cleanly.
+# ----------------------------------------------------------------------------
+
+
+def _pairwise_iou_batched(a: jnp.ndarray, b: jnp.ndarray, to_remove: float) -> jnp.ndarray:
+    """(B, N, 4) x (B, M, 4) -> (B, N, M) IoU with the legacy +1 convention."""
+    lt = jnp.maximum(a[:, :, None, :2], b[:, None, :, :2])
+    rb = jnp.minimum(a[:, :, None, 2:], b[:, None, :, 2:])
+    wh = jnp.maximum(rb - lt + to_remove, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area = lambda x: jnp.maximum(x[..., 2] - x[..., 0] + to_remove, 0.0) * jnp.maximum(
+        x[..., 3] - x[..., 1] + to_remove, 0.0
+    )
+    union = area(a)[:, :, None] + area(b)[:, None, :] - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
+def _greedy_keep_batched(
+    iou: jnp.ndarray, valid_sorted: jnp.ndarray, thresh: float
+) -> jnp.ndarray:
+    """_greedy_keep over a (B, N, N) score-ordered IoU stack."""
+    n = iou.shape[1]
+    tri = jnp.tril(jnp.ones((n, n), bool), k=-1)
+    sup = ((iou > thresh) & tri[None] & valid_sorted[:, None, :]).astype(jnp.float32)
+
+    def cond(state):
+        keep, prev, it = state
+        return (it < n) & jnp.any(keep != prev)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.einsum("bij,bj->bi", sup, keep.astype(jnp.float32)) > 0.0
+        return valid_sorted & ~suppressed, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid_sorted, ~valid_sorted, jnp.int32(0))
+    )
+    return keep
+
+
+def nms_topk_batched(
+    boxes: jnp.ndarray,  # (B, N, 4)
+    scores: jnp.ndarray,  # (B, N)
+    valid: jnp.ndarray,  # (B, N)
+    iou_thresh: float,
+    k: int,
+    to_remove: float = 1.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched nms_topk: -> (indices (B, k), out_valid (B, k)). Per-row output
+    identical to nms_topk on that row."""
+    n = scores.shape[1]
+    order = jnp.argsort(
+        jnp.where(valid, scores, _NEG), axis=-1, descending=True, stable=True
+    )
+    bo = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    vo = jnp.take_along_axis(valid, order, axis=1)
+    if _use_pallas_nms(n):
+        from .pallas.nms import nms_sorted_pallas
+
+        pos, ok = jax.vmap(
+            lambda bb, vv: nms_sorted_pallas(bb, vv, k, iou_thresh, to_remove)
+        )(bo, vo)
+        return jnp.take_along_axis(order, pos, axis=1), ok
+    iou = _pairwise_iou_batched(bo, bo, to_remove)
+    keep = _greedy_keep_batched(iou, vo, iou_thresh)
+    key = jnp.where(keep, -jnp.arange(n, dtype=jnp.float32)[None, :], _NEG)
+    val, pos = jax.lax.top_k(key, k)
+    return jnp.take_along_axis(order, pos, axis=1), val > _NEG / 2
+
+
+def double_view_nms_topk_batched(
+    boxes_left: jnp.ndarray,
+    boxes_right: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    k: int,
+    to_remove: float = 1.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched double_view_nms_topk (union-box NMS, keep applied to both)."""
+    union = jnp.concatenate(
+        [
+            jnp.minimum(boxes_left[..., :2], boxes_right[..., :2]),
+            jnp.maximum(boxes_left[..., 2:], boxes_right[..., 2:]),
+        ],
+        axis=-1,
+    )
+    return nms_topk_batched(union, scores, valid, iou_thresh, k, to_remove=to_remove)

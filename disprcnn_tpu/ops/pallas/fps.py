@@ -18,18 +18,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS = 8  # batch rows per grid step (sublane tile)
+ROWS = 8  # minimum batch rows per grid step (one f32 sublane tile)
+MAX_ROWS = 64  # cap: VMEM working set stays ~1 MB at N=768
 
 
-def _fps_kernel(npoint: int, n: int, xyz_ref, out_ref, mind):
-    # xyz (ROWS, 3, N); out (ROWS, npoint) int32; mind (ROWS, N) scratch
+def _fps_kernel(npoint: int, n: int, rows: int, xyz_ref, out_ref, mind):
+    # xyz (rows, 3, N); out (rows, npoint) int32; mind (rows, N) scratch
     x = xyz_ref[:, 0, :]
     y = xyz_ref[:, 1, :]
     z = xyz_ref[:, 2, :]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (ROWS, n), 1)
-    out_lanes = jax.lax.broadcasted_iota(jnp.int32, (ROWS, npoint), 1)
-    mind[...] = jnp.full((ROWS, n), 1e10, jnp.float32)
-    out_ref[...] = jnp.zeros((ROWS, npoint), jnp.int32)  # slot 0 = seed 0
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    out_lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, npoint), 1)
+    mind[...] = jnp.full((rows, n), 1e10, jnp.float32)
+    out_ref[...] = jnp.zeros((rows, npoint), jnp.int32)  # slot 0 = seed 0
 
     def body(i, last):
         onehot = (lanes == last[:, None]).astype(jnp.float32)
@@ -47,7 +48,7 @@ def _fps_kernel(npoint: int, n: int, xyz_ref, out_ref, mind):
         out_ref[...] = out_ref[...] + nxt[:, None] * (out_lanes == i)
         return nxt
 
-    jax.lax.fori_loop(1, npoint, body, jnp.zeros((ROWS,), jnp.int32))
+    jax.lax.fori_loop(1, npoint, body, jnp.zeros((rows,), jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("npoint", "interpret"))
@@ -56,20 +57,24 @@ def furthest_point_sample_pallas(
 ) -> jnp.ndarray:
     """(B, N, 3) -> (B, npoint) int32, VMEM-resident sequential FPS."""
     b, n, _ = xyz.shape
-    pad = (-b) % ROWS
+    # rows per grid step: the npoint-long loop is sequential, so fewer grid
+    # steps = proportionally less loop/step overhead. Widen the sublane tile
+    # up to MAX_ROWS (the VPU vectorizes over all of them for free).
+    rows = min(MAX_ROWS, max(ROWS, -(-b // ROWS) * ROWS))
+    pad = (-b) % rows
     xt = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32)  # (B, 3, N)
     if pad:
         xt = jnp.concatenate([xt, jnp.zeros((pad, 3, n), jnp.float32)], axis=0)
-    kernel = partial(_fps_kernel, npoint, n)
+    kernel = partial(_fps_kernel, npoint, n, rows)
     out = pl.pallas_call(
         kernel,
-        grid=((b + pad) // ROWS,),
+        grid=((b + pad) // rows,),
         in_specs=[
-            pl.BlockSpec((ROWS, 3, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((rows, 3, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((ROWS, npoint), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((rows, npoint), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b + pad, npoint), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((ROWS, n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rows, n), jnp.float32)],
         interpret=interpret,
     )(xt)
     return out[:b]

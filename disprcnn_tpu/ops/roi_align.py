@@ -176,3 +176,52 @@ def _roi_pool_single(feat, box, pooled, spatial_scale):
 def roi_pool(features, boxes, pooled, spatial_scale=1.0):
     """Max ROIPool of N boxes -> (N, pooled, pooled, C)."""
     return jax.vmap(lambda b: _roi_pool_single(features, b, pooled, spatial_scale))(boxes)
+
+
+@partial(jax.jit, static_argnames=("pooled", "spatial_scale", "sampling_ratio"))
+def roi_align_batched_gather(
+    features: jnp.ndarray,  # (B, H, W, C)
+    boxes: jnp.ndarray,  # (N, 4)
+    batch_idx: jnp.ndarray,  # (N,) int32
+    pooled: int,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """roi_align_batched via flat POINT gathers (identical output).
+
+    The matrix formulation contracts each ROI against the full (B*H, W*C)
+    map and materializes a (N, P, W, C) intermediate in HBM (~670 MB for
+    300 stereo ROIs on P2) — pure bandwidth. Here each bilinear tap is one
+    row gather from the flattened (B*H*W, C) map: 4 gathers of (N, P*s, P*s)
+    rows, no intermediate bigger than the output.
+    """
+    s = sampling_ratio if sampling_ratio > 0 else 2
+    b, h, w, c = features.shape
+    flat = features.reshape(b * h * w, c)
+
+    def grids(box):
+        x1, y1 = box[0] * spatial_scale, box[1] * spatial_scale
+        x2, y2 = box[2] * spatial_scale, box[3] * spatial_scale
+        roi_w = jnp.maximum(x2 - x1, 1.0)
+        roi_h = jnp.maximum(y2 - y1, 1.0)
+        ys = _sample_grid_1d(y1, roi_h / pooled, pooled, s)
+        xs = _sample_grid_1d(x1, roi_w / pooled, pooled, s)
+        y0, y1i, wy0, wy1 = _interp_axis(ys, h)
+        x0, x1i, wx0, wx1 = _interp_axis(xs, w)
+        return y0, y1i, wy0, wy1, x0, x1i, wx0, wx1
+
+    y0, y1i, wy0, wy1, x0, x1i, wx0, wx1 = jax.vmap(grids)(boxes)  # (N, P*s)
+    base = (batch_idx * h)[:, None, None]
+
+    def tap(yi, xi, wy, wx):
+        idx = (base + yi[:, :, None]) * w + xi[:, None, :]  # (N, Ps, Ps)
+        v = jnp.take(flat, idx.reshape(-1), axis=0).reshape(*idx.shape, c)
+        return v * (wy[:, :, None] * wx[:, None, :])[..., None].astype(v.dtype)
+
+    vals = (
+        tap(y0, x0, wy0, wx0) + tap(y0, x1i, wy0, wx1)
+        + tap(y1i, x0, wy1, wx0) + tap(y1i, x1i, wy1, wx1)
+    )
+    n, ps = vals.shape[0], vals.shape[1]
+    vals = vals.reshape(n, pooled, s, pooled, s, c)
+    return vals.mean(axis=(2, 4))

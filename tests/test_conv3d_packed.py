@@ -160,3 +160,57 @@ def test_packed_bn_matches_flax():
             jax.tree.map(
                 lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
                 mut_p["batch_stats"], mut["batch_stats"])
+
+
+def test_batched_nms_matches_per_image():
+    """nms_topk_batched / double_view_nms_topk_batched / postprocess_batched
+    must reproduce the per-image functions row for row (the batched forms
+    exist purely for TPU lowering speed)."""
+    from disprcnn_tpu.ops.nms import (
+        double_view_nms_topk, double_view_nms_topk_batched, nms_topk,
+        nms_topk_batched,
+    )
+
+    k = jax.random.split(jax.random.PRNGKey(11), 4)
+    bsz, n = 3, 64
+    xy = jax.random.uniform(k[0], (bsz, n, 2)) * 200
+    wh = jax.random.uniform(k[1], (bsz, n, 2)) * 80 + 4
+    boxes = jnp.concatenate([xy, xy + wh], axis=-1)
+    boxes2 = boxes + jax.random.normal(k[2], boxes.shape) * 3
+    scores = jax.random.uniform(k[3], (bsz, n))
+    valid = scores > 0.1
+
+    bi, bok = nms_topk_batched(boxes, scores, valid, 0.5, 10)
+    for i in range(bsz):
+        si, sok = nms_topk(boxes[i], scores[i], valid[i], 0.5, 10)
+        np.testing.assert_array_equal(np.asarray(bi[i]), np.asarray(si))
+        np.testing.assert_array_equal(np.asarray(bok[i]), np.asarray(sok))
+
+    bi, bok = double_view_nms_topk_batched(boxes, boxes2, scores, valid, 0.6, 8)
+    for i in range(bsz):
+        si, sok = double_view_nms_topk(boxes[i], boxes2[i], scores[i], valid[i], 0.6, 8)
+        np.testing.assert_array_equal(np.asarray(bi[i]), np.asarray(si))
+        np.testing.assert_array_equal(np.asarray(bok[i]), np.asarray(sok))
+
+
+def test_srpn_postprocess_batched_matches_per_image():
+    from disprcnn_tpu.models.rpn import stereo_rpn
+
+    k = jax.random.split(jax.random.PRNGKey(13), 3)
+    bsz, n = 2, 200
+    anchors = jnp.concatenate(
+        [jax.random.uniform(k[0], (n, 2)) * 300,
+         jnp.full((n, 2), 40.0) + jax.random.uniform(k[0], (n, 2)) * 60],
+        axis=-1,
+    )
+    anchors = anchors.at[:, 2:].set(anchors[:, :2] + anchors[:, 2:])
+    logits = jax.random.normal(k[1], (bsz, n, 2))
+    deltas = jax.random.normal(k[2], (bsz, n, 6)) * 0.1
+    got = stereo_rpn.postprocess_batched(
+        anchors, logits, deltas, (384, 1248), 128, 16, 0.7, 0.0)
+    for i in range(bsz):
+        want = stereo_rpn.postprocess(
+            anchors, logits[i], deltas[i], (384, 1248), 128, 16, 0.7, 0.0)
+        np.testing.assert_allclose(np.asarray(got.left[i]), np.asarray(want.left), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got.score[i]), np.asarray(want.score), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got.valid[i]), np.asarray(want.valid))

@@ -18,3 +18,58 @@ def test_pallas_fps_npoint_exceeds_n(rng):
     got = furthest_point_sample_pallas(pts, 48, interpret=True)
     want = furthest_point_sample(pts, 48)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_fps_wide_batch(rng):
+    """Batch > MAX_ROWS exercises the multi-grid-step path with the widened
+    sublane tile (rows=64)."""
+    pts = jnp.asarray(rng.uniform(-5, 5, (130, 40, 3)).astype(np.float32))
+    got = furthest_point_sample_pallas(pts, 8, interpret=True)
+    want = furthest_point_sample(pts, 8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_nms_matches_xla(rng):
+    """Greedy-NMS kernel vs the IoU-matrix fixpoint (exact same survivors,
+    sorted-order indices), incl. clustered boxes with long suppression
+    chains and invalid entries."""
+    from disprcnn_tpu.ops.nms import _greedy_keep, _NEG
+    from disprcnn_tpu.ops.iou import pairwise_iou
+    from disprcnn_tpu.ops.pallas.nms import nms_sorted_pallas
+
+    n, k = 200, 24
+    xy = rng.uniform(0, 300, (n, 2)).astype(np.float32)
+    wh = rng.uniform(10, 120, (n, 2)).astype(np.float32)
+    # half the boxes clustered to force chains
+    xy[n // 2:] = xy[n // 2] + rng.uniform(-8, 8, (n // 2, 2))
+    wh[n // 2:] = wh[n // 2] + rng.uniform(-4, 4, (n // 2, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    valid = jnp.asarray(rng.uniform(size=n) > 0.15)
+
+    got_idx, got_ok = nms_sorted_pallas(boxes, valid, k, 0.5, 1.0, interpret=True)
+    iou = pairwise_iou(boxes, boxes, to_remove=1.0)
+    keep = _greedy_keep(iou, valid, 0.5)
+    key = jnp.where(keep, -jnp.arange(n, dtype=jnp.float32), _NEG)
+    val, want_idx = jax.lax.top_k(key, k)
+    want_ok = val > _NEG / 2
+    np.testing.assert_array_equal(np.asarray(got_ok), np.asarray(want_ok))
+    np.testing.assert_array_equal(
+        np.asarray(got_idx)[np.asarray(want_ok)],
+        np.asarray(want_idx)[np.asarray(want_ok)])
+
+
+def test_pallas_nms_vmapped(rng):
+    from disprcnn_tpu.ops.pallas.nms import nms_sorted_pallas
+
+    b, n, k = 3, 64, 8
+    xy = rng.uniform(0, 200, (b, n, 2)).astype(np.float32)
+    wh = rng.uniform(10, 80, (b, n, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    valid = jnp.ones((b, n), bool)
+    got_i, got_ok = jax.vmap(
+        lambda bb, vv: nms_sorted_pallas(bb, vv, k, 0.5, 1.0, interpret=True)
+    )(boxes, valid)
+    for i in range(b):
+        si, sok = nms_sorted_pallas(boxes[i], valid[i], k, 0.5, 1.0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_i[i]), np.asarray(si))
+        np.testing.assert_array_equal(np.asarray(got_ok[i]), np.asarray(sok))

@@ -98,3 +98,41 @@ def test_train_step_descends_on_toy_model():
         losses.append(float(metrics["loss_total"]))
     assert losses[-1] < 1e-3 < losses[0]
     assert int(state.step) == 50
+
+
+def test_merge_predictions_across_hosts_rekey(monkeypatch):
+    """merge_predictions_across_hosts stacks per-image dicts, gathers, and
+    re-keys by the gathered integer ids (engine/inference.py; reference
+    pickle-all_gather semantics at engine/inference.py:253-272). The
+    collective is simulated: two hosts' shards concatenated in process order."""
+    import numpy as np
+
+    from disprcnn_tpu.engine import inference as inf
+
+    local0 = {
+        "000001": {"box": np.full((2, 4), 1.0), "score": np.asarray([0.9, 0.1])},
+        "000003": {"box": np.full((2, 4), 3.0), "score": np.asarray([0.8, 0.2])},
+    }
+    other = {
+        "000002": {"box": np.full((2, 4), 2.0), "score": np.asarray([0.7, 0.3])},
+        "000004": {"box": np.full((2, 4), 4.0), "score": np.asarray([0.6, 0.4])},
+    }
+
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "process_count", lambda: 2)
+
+    def fake_allgather(stacked):
+        oids = sorted(other.keys())
+        okeys = [k for k in stacked if k != "_imgid"]
+        ostacked = {k: np.stack([other[i][k] for i in oids]) for k in okeys}
+        ostacked["_imgid"] = np.asarray([int(i) for i in oids], np.int64)
+        return {k: np.concatenate([stacked[k], ostacked[k]]) for k in stacked}
+
+    import disprcnn_tpu.parallel.multihost as mh
+
+    monkeypatch.setattr(mh, "all_gather_predictions", fake_allgather)
+    merged = inf.merge_predictions_across_hosts(local0)
+    assert sorted(merged.keys()) == ["000001", "000002", "000003", "000004"]
+    np.testing.assert_array_equal(merged["000002"]["box"], np.full((2, 4), 2.0))
+    np.testing.assert_array_equal(merged["000004"]["score"], np.asarray([0.6, 0.4]))

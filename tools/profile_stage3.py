@@ -12,6 +12,10 @@ import sys
 
 import numpy as np
 
+
+def log(msg):
+    print(msg, flush=True)
+
 sys.path.insert(0, ".")
 
 
@@ -22,7 +26,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from disprcnn_tpu.models.pointrcnn import codec, lift, rcnn3d, rpn3d
+    from disprcnn_tpu.models.pointrcnn import bbox3d_codec as codec, lift, rcnn3d, rpn3d
     from disprcnn_tpu.models.pointrcnn.point_rcnn import PointRCNN, _decanon_rois
     from disprcnn_tpu.utils.benchmarking import device_timeit
 
@@ -32,6 +36,7 @@ def main():
     rng = jax.random.PRNGKey(0)
     prcnn = PointRCNN(npoints=n, rcnn_enabled=True, dtype=jnp.bfloat16)
 
+    log("init prcnn on cpu...")
     with jax.default_device(cpu):
         pts0 = jax.random.normal(rng, (r, n, 3)) * 2.0 + jnp.asarray([0, 0, 20.0])
         ok = jnp.ones((r,), bool)
@@ -43,6 +48,7 @@ def main():
             )
         )(rng, pts0)
 
+    log("device_put...")
     v, pts = jax.device_put((v, pts0), dev)
     ok, ang, mean = jax.device_put((ok, ang, mean), dev)
     anchor = jnp.asarray(prcnn.mean_size, jnp.bfloat16)
@@ -55,6 +61,7 @@ def main():
 
     t = {}
     frpn = jax.jit(lambda v, p: rpn.apply(v, p, train=False)["cls"])
+    log("timing rpn3d...")
     t["rpn3d_pointnet"] = device_timeit(frpn, vr, pts)
 
     frpn_full = jax.jit(lambda v, p: rpn.apply(v, p, train=False))
@@ -67,6 +74,7 @@ def main():
         )
 
     fprop_j = jax.jit(fprop)
+    log("timing propose...")
     t["propose_nms"] = device_timeit(
         fprop_j, rpn_out["cls"], rpn_out["reg"], rpn_out["xyz"])
     rois_c, roi_scores, prop_valid = fprop_j(
@@ -78,6 +86,7 @@ def main():
 
     fpool = jax.jit(lambda x, f, s, ro: rcnn3d.pool_rcnn_inputs(
         x, f, s, ro, num_points=prcnn.rcnn_num_points))
+    log("timing pool...")
     t["roipool3d"] = device_timeit(fpool, xyz_rect, rpn_out["features"], seg, rois)
     pts_input, empty = fpool(xyz_rect, rpn_out["features"], seg, rois)
 
@@ -86,6 +95,7 @@ def main():
     k = rois.shape[1]
     flat = pts_input.reshape(r * k, prcnn.rcnn_num_points, -1)
     frc = jax.jit(lambda v, p: rc.apply(v, p, train=False))
+    log("timing rcnn...")
     t["rcnn_net"] = device_timeit(frc, vc, flat)
     cls_pred, reg_pred = frc(vc, flat)
 
@@ -125,7 +135,8 @@ def main():
         freeze_at=model2d.freeze_at, dtype=jnp.bfloat16,
     )
     vbb = {col: sub["backbone"] for col, sub in v2d.items() if "backbone" in sub}
-    fbb = jax.jit(lambda v, a: bb.apply(v, jnp.concatenate([a, a]), train=False))
+    fbb = jax.jit(lambda v, a: bb.apply(v, jnp.concatenate([a, a])))
+    log("timing backbone...")
     t2["backbone_2x"] = device_timeit(fbb, vbb, img)
     f2d = jax.jit(lambda v, l, r: model2d.apply(v, l, r, train=False)["detections"].left)
     t2["full_2d"] = device_timeit(f2d, v2d, img, img)
