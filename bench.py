@@ -138,6 +138,9 @@ def main(pairs: int = 1):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pairs", type=int, default=1,
-                    help="stereo pairs per jitted step (throughput batching)")
+    ap.add_argument("--pairs", type=int, default=4,
+                    help="stereo pairs per jitted step (throughput batching; "
+                         "eval is embarrassingly batchable, and per-chip "
+                         "throughput is the metric -- 4 amortizes the "
+                         "fixed-shape overheads, +20%% over single-pair)")
     main(pairs=ap.parse_args().pairs)

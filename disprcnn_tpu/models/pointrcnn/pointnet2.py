@@ -55,7 +55,12 @@ def sample_and_group(
     nsample: int,
     use_xyz: bool = True,
 ) -> jnp.ndarray:
-    """-> grouped (B, M, nsample, 3[+C]) with centered xyz."""
+    """-> grouped (B, M, nsample, 3[+C]) with centered xyz.
+
+    xyz and features are gathered SEPARATELY: both group_points einsums share
+    one CSE'd one-hot operand, while a fused concat-then-gather variant makes
+    XLA re-lay-out the (B, M, S, 3+C) block (measured +5.5 ms of pure copies
+    on the RCNN stage)."""
     idx = ball_query(new_xyz, xyz, radius, nsample)
     grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
     if features is not None:

@@ -76,10 +76,11 @@ class ConvBN(nn.Module):
             y = _WPackedKernelConv(
                 self.features, self.wpack, self.dtype, name="Conv_0"
             )(x)
-            b, h, wg, gc = y.shape
-            y = y.reshape(b, h, wg, self.wpack, self.features)
-            y = _bn(train, dtype=self.dtype)(y)
-            return y.reshape(b, h, wg, gc)
+            # G-tiled BN (no rank-5 re-view: that re-tiles the lane axis and
+            # XLA inserts a copy); stats identical to canonical BatchNorm
+            return _PackedBN(
+                self.features, self.wpack, dtype=self.dtype, name="BatchNorm_0"
+            )(y, train)
         k = (self.kernel,) * self.dims
         pad = self.dilation * (self.kernel // 2)
         x = nn.Conv(
@@ -136,13 +137,23 @@ class FeatureExtraction(nn.Module):
         x = nn.relu(ConvBN(32, 3, 1, dtype=self.dtype, wpack=wp, name="ConvBN_1")(x, train))
         x = nn.relu(ConvBN(32, 3, 1, dtype=self.dtype, wpack=wp, name="ConvBN_2")(x, train))
 
-        def layer(x, planes, blocks, stride, dilation, wpk=0):
+        def layer(x, planes, blocks, stride, dilation, wpk=0, wpk_rest=0):
             ch = x.shape[-1] // (wpk or 1)
             x = BasicBlock(
                 planes, stride, dilation,
                 downsample=(stride != 1 or ch != planes), dtype=self.dtype,
                 wpack=wpk,
             )(x, train)
+            # wpk_rest: pack only blocks 1.. (block 0 may stride/downsample,
+            # which the packed conv does not support); used for the C=64
+            # section where 2-wide packing fills all 128 lanes at a 4/3 FLOP
+            # overhead (vs half-idle lanes unpacked)
+            if wpk_rest and x.shape[2] % wpk_rest == 0:
+                x = wpack(x, wpk_rest)
+                for _ in range(1, blocks):
+                    x = BasicBlock(planes, 1, dilation, dtype=self.dtype,
+                                   wpack=wpk_rest)(x, train)
+                return wunpack(x, wpk_rest)
             for _ in range(1, blocks):
                 x = BasicBlock(planes, 1, dilation, dtype=self.dtype, wpack=wpk)(x, train)
             return x
@@ -150,7 +161,7 @@ class FeatureExtraction(nn.Module):
         x = layer(x, 32, 3, 1, 1, wpk=wp)
         if wp:
             x = wunpack(x, wp)
-        raw = layer(x, 64, 16, 2, 1)  # 1/4 res
+        raw = layer(x, 64, 16, 2, 1, wpk_rest=2)  # 1/4 res
         x = layer(raw, 128, 3, 1, 1)
         skip = layer(x, 128, 3, 1, 2)  # dilated
 

@@ -187,13 +187,15 @@ def roi_align_batched_gather(
     spatial_scale: float = 1.0,
     sampling_ratio: int = 2,
 ) -> jnp.ndarray:
-    """roi_align_batched via flat POINT gathers (identical output).
+    """roi_align_batched via flat POINT gathers (identical output; tested).
 
-    The matrix formulation contracts each ROI against the full (B*H, W*C)
-    map and materializes a (N, P, W, C) intermediate in HBM (~670 MB for
-    300 stereo ROIs on P2) — pure bandwidth. Here each bilinear tap is one
-    row gather from the flattened (B*H*W, C) map: 4 gathers of (N, P*s, P*s)
-    rows, no intermediate bigger than the output.
+    Each bilinear tap is one row gather from the flattened (B*H*W, C) map:
+    4 gathers of (N, P*s, P*s) rows, no intermediate bigger than the output.
+    MEASURED on TPU (300 ROIs, P2-sized map): 2.47 ms at 7x7 / 7.8 ms at
+    14x14 vs 1.09 ms for the matrix contraction — XLA row gathers lose to
+    the MXU even with a ~300 MB HBM intermediate, so roi_align_batched
+    remains the default; this form is kept as the oracle-grade alternative
+    (and for tiny channel counts where the matmul cannot tile).
     """
     s = sampling_ratio if sampling_ratio > 0 else 2
     b, h, w, c = features.shape

@@ -214,3 +214,18 @@ def test_srpn_postprocess_batched_matches_per_image():
         np.testing.assert_allclose(np.asarray(got.left[i]), np.asarray(want.left), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(got.score[i]), np.asarray(want.score), rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(got.valid[i]), np.asarray(want.valid))
+
+
+def test_basicblock_wpacked_matches_plain():
+    """BasicBlock(wpack=2) vs BasicBlock() sharing one param tree — the C=64
+    feature-extraction section runs W-packed by 2."""
+    from disprcnn_tpu.models.psmnet.psmnet import BasicBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(21), (2, 6, 8, 64))
+    packed = BasicBlock(64, wpack=2)
+    plain = BasicBlock(64)
+    xp = wpack(x, 2)
+    variables = packed.init(jax.random.PRNGKey(22), xp, False)
+    got = wunpack(packed.apply(variables, xp, False), 2)
+    want = plain.apply(variables, x, False)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -211,3 +211,20 @@ def test_smooth_l1():
     x = jnp.asarray([-2.0, -0.5, 0.0, 0.5, 2.0])
     got = np.asarray(ops.smooth_l1(x))
     np.testing.assert_allclose(got, [1.5, 0.125, 0.0, 0.125, 1.5], rtol=1e-6)
+
+
+def test_roi_align_gather_matches_matrix(rng):
+    """roi_align_batched_gather (point-gather form) vs roi_align_batched
+    (matrix-contraction form): identical outputs by construction."""
+    from disprcnn_tpu.ops.roi_align import (
+        roi_align_batched, roi_align_batched_gather,
+    )
+
+    feat = jnp.asarray(rng.normal(size=(2, 24, 40, 16)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0, 150, (12, 4)).astype(np.float32))
+    boxes = boxes.at[:, 2:].set(boxes[:, :2] + 10 + boxes[:, 2:] / 3)
+    bi = jnp.asarray(rng.integers(0, 2, 12).astype(np.int32))
+    for pooled, s in ((7, 2), (14, 2), (5, 1)):
+        a = roi_align_batched(feat, boxes, bi, pooled, 0.25, s)
+        g = roi_align_batched_gather(feat, boxes, bi, pooled, 0.25, s)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(g), rtol=1e-5, atol=1e-5)

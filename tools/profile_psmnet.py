@@ -1,0 +1,85 @@
+"""PSMNet stage split: siamese feature tower vs cost-volume trunk.
+
+Times (a) FeatureExtraction on the 32-crop stereo batch, (b) the full PSMNet
+forward, attributing the difference to the packed 3D trunk + classif +
+upsample/soft-argmin.
+
+Usage: python tools/profile_psmnet.py
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def log(m):
+    print(m, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from disprcnn_tpu.models.psmnet.psmnet import PSMNet, FeatureExtraction
+    from disprcnn_tpu.utils.benchmarking import device_timeit
+
+    dev = jax.devices()[0]
+    rng = jax.random.PRNGKey(0)
+    psm = PSMNet(maxdisp=48, mindisp=-48, dtype=jnp.bfloat16)
+    d = 16
+
+    cache = "/root/repo/.cache/profile_vpsm.pkl"
+    if os.path.exists(cache):
+        log("loading cached variables...")
+        with open(cache, "rb") as f:
+            vpsm = pickle.load(f)
+    else:
+        log("synthesizing variables from eval_shape...")
+        crops0 = jnp.zeros((d, 224, 224, 3), jnp.float32)
+        shapes = jax.eval_shape(
+            lambda k, a: psm.init({"params": k}, a, a, train=False), rng, crops0
+        )
+        nprng = np.random.default_rng(0)
+
+        def fill(path, s):
+            a = (0.05 * nprng.standard_normal(s.shape)).astype(s.dtype)
+            if any("var" in str(getattr(p, "key", "")) for p in path):
+                a = np.abs(a) + np.asarray(0.9, s.dtype)
+            return a
+
+        vpsm = jax.tree_util.tree_map_with_path(fill, shapes)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        with open(cache, "wb") as f:
+            pickle.dump(vpsm, f)
+    vpsm = jax.device_put(jax.tree.map(jnp.asarray, vpsm), dev)
+
+    crops = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (d, 224, 224, 3)),
+                    jnp.float32), dev)
+
+    feat = FeatureExtraction(dtype=jnp.bfloat16)
+    vfe = {col: s["feature_extraction"] for col, s in vpsm.items()
+           if "feature_extraction" in s}
+    ffe = jax.jit(lambda v, a, b: feat.apply(v, jnp.concatenate([a, b]), False))
+    log("timing feature tower (2x16 crops)...")
+    t_fe = device_timeit(ffe, vfe, crops, crops)
+
+    fpsm = jax.jit(lambda v, a, b: psm.apply(v, a, b, train=False))
+    log("timing full psmnet...")
+    t_full = device_timeit(fpsm, vpsm, crops, crops)
+
+    print(f"feature tower: {t_fe:8.2f} ms")
+    print(f"full psmnet:   {t_full:8.2f} ms")
+    print(f"trunk+classif: {t_full - t_fe:8.2f} ms (derived)")
+
+
+if __name__ == "__main__":
+    main()
