@@ -114,6 +114,22 @@ class KittiStereoDataset:
     def __len__(self):
         return len(self.ids)
 
+    def image_sizes(self):
+        """(w, h) per sample for aspect-ratio batch grouping (reference
+        GroupedBatchSampler input; KITTI images are uniformly landscape, so
+        a single group results — the hook matters for mixed datasets)."""
+        out = []
+        for imgid in self.ids:
+            path = self._path("image_2", imgid, ".png")
+            try:
+                from PIL import Image
+
+                with Image.open(path) as im:
+                    out.append(im.size)
+            except Exception:
+                out.append((1242, 375))
+        return out
+
     # -- raw pieces --------------------------------------------------------
     def _path(self, sub: str, imgid: str, ext: str) -> str:
         return os.path.join(self.root, "object", self.split_dir, sub, f"{imgid}{ext}")

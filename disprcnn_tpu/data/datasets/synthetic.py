@@ -41,6 +41,9 @@ class SyntheticStereoDataset:
     def __len__(self):
         return self.n
 
+    def image_sizes(self):
+        return [(self.hw[1], self.hw[0])] * self.n
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(self.seed * 10007 + idx)
         h, w = self.hw

@@ -37,6 +37,10 @@ class StereoBatchLoader:
         shard_id: int = 0,
         pad_last: bool = False,  # eval: wrap the final partial batch (the
         # duplicate imgids collapse in the per-image prediction dict)
+        group_by_aspect: bool = False,  # DATALOADER.ASPECT_RATIO_GROUPING:
+        # draw each batch from one aspect cluster (reference
+        # grouped_batch_sampler.py:9-111; with one global static shape the
+        # effect is batch homogeneity, not per-batch padding)
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -49,6 +53,12 @@ class StereoBatchLoader:
         self.num_shards = num_shards
         self.shard_id = shard_id
         self.pad_last = pad_last
+        self.group_by_aspect = group_by_aspect
+        self._groups = None
+        if group_by_aspect and hasattr(dataset, "image_sizes"):
+            self._groups = np.asarray(
+                aspect_ratio_groups(dataset.image_sizes()), np.int32
+            )
 
     def _index_stream(self) -> Iterator[int]:
         epoch = 0
@@ -56,6 +66,13 @@ class StereoBatchLoader:
             idxs = np.arange(len(self.ds))
             if self.shuffle:
                 idxs = np.random.default_rng(self.seed + epoch).permutation(idxs)
+            if self._groups is not None:
+                # stable partition by aspect group: batches then form within
+                # clusters (GroupedBatchSampler semantics, shuffled order
+                # inside each cluster preserved)
+                idxs = np.concatenate(
+                    [idxs[self._groups[idxs] == g] for g in (0, 1)]
+                )
             # shard for distributed hosts, padded to even shards
             # (reference samplers/distributed.py:10-66)
             per = int(np.ceil(len(idxs) / self.num_shards))

@@ -133,8 +133,10 @@ def postprocess_batched(
     left, right = clip(left), clip(right)
     big = lambda b: (b[..., 2] - b[..., 0] >= min_size) & (b[..., 3] - b[..., 1] >= min_size)
     valid = big(left) & big(right)
+    # top_k already returned score-descending rows: skip the NMS argsort
     idx, ok = double_view_nms_topk_batched(
-        left, right, top_scores, valid, nms_thresh, post_nms_top_n
+        left, right, top_scores, valid, nms_thresh, post_nms_top_n,
+        presorted=True,
     )
     take3 = lambda x: jnp.take_along_axis(x, idx[..., None], axis=1)
     return StereoBoxes(

@@ -286,27 +286,37 @@ def nms_topk_batched(
     iou_thresh: float,
     k: int,
     to_remove: float = 1.0,
+    presorted: bool = False,  # scores already descending (e.g. out of top_k):
+    # skips a 1.1 ms argsort at N=6000. NOTE: plain descending order sorts
+    # invalid rows by their scores too, which is fine — invalid boxes never
+    # suppress nor survive.
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched nms_topk: -> (indices (B, k), out_valid (B, k)). Per-row output
     identical to nms_topk on that row."""
     n = scores.shape[1]
-    order = jnp.argsort(
-        jnp.where(valid, scores, _NEG), axis=-1, descending=True, stable=True
-    )
-    bo = jnp.take_along_axis(boxes, order[..., None], axis=1)
-    vo = jnp.take_along_axis(valid, order, axis=1)
+    if presorted:
+        bo, vo = boxes, valid
+        order = None
+    else:
+        order = jnp.argsort(
+            jnp.where(valid, scores, _NEG), axis=-1, descending=True, stable=True
+        )
+        bo = jnp.take_along_axis(boxes, order[..., None], axis=1)
+        vo = jnp.take_along_axis(valid, order, axis=1)
     if _use_pallas_nms(n):
         from .pallas.nms import nms_sorted_pallas
 
         pos, ok = jax.vmap(
             lambda bb, vv: nms_sorted_pallas(bb, vv, k, iou_thresh, to_remove)
         )(bo, vo)
-        return jnp.take_along_axis(order, pos, axis=1), ok
+        return (pos if order is None
+                else jnp.take_along_axis(order, pos, axis=1)), ok
     iou = _pairwise_iou_batched(bo, bo, to_remove)
     keep = _greedy_keep_batched(iou, vo, iou_thresh)
     key = jnp.where(keep, -jnp.arange(n, dtype=jnp.float32)[None, :], _NEG)
     val, pos = jax.lax.top_k(key, k)
-    return jnp.take_along_axis(order, pos, axis=1), val > _NEG / 2
+    return (pos if order is None
+            else jnp.take_along_axis(order, pos, axis=1)), val > _NEG / 2
 
 
 def double_view_nms_topk_batched(
@@ -317,6 +327,7 @@ def double_view_nms_topk_batched(
     iou_thresh: float,
     k: int,
     to_remove: float = 1.0,
+    presorted: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched double_view_nms_topk (union-box NMS, keep applied to both)."""
     union = jnp.concatenate(
@@ -326,4 +337,5 @@ def double_view_nms_topk_batched(
         ],
         axis=-1,
     )
-    return nms_topk_batched(union, scores, valid, iou_thresh, k, to_remove=to_remove)
+    return nms_topk_batched(union, scores, valid, iou_thresh, k,
+                            to_remove=to_remove, presorted=presorted)

@@ -50,13 +50,50 @@ class Checkpointer:
         return restored, step
 
 
+_CATALOG = {
+    # names the reference resolves through ModelCatalog (utils/checkpoint.py:
+    # 110-148 + model_zoo); zero-egress here, so they map to local files
+    "ImageNetPretrained/MSRA/R-50": "R-50.pkl",
+    "ImageNetPretrained/MSRA/R-101": "R-101.pkl",
+    "ImageNetPretrained/MSRA/R-152": "R-152.pkl",
+}
+
+
+def resolve_weight(weight: str) -> str:
+    """`catalog://` / URL resolution (reference DetectronCheckpointer
+    _load_file): catalog names and URLs map to files under
+    $DISPRCNN_WEIGHTS (default /root/repo/weights) — this machine has no
+    network egress, so remote fetch is replaced by a local-cache contract."""
+    root = os.environ.get("DISPRCNN_WEIGHTS", "/root/repo/weights")
+    if weight.startswith("catalog://"):
+        name = weight[len("catalog://"):]
+        fname = _CATALOG.get(name, name.replace("/", "_") + ".pkl")
+        path = os.path.join(root, fname)
+    elif weight.startswith(("http://", "https://")):
+        path = os.path.join(root, os.path.basename(weight))
+    else:
+        return weight
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{weight} resolves to local cache {path}, which does not exist "
+            "(no network egress: place the file there manually)"
+        )
+    return path
+
+
 def load_stage_weights(variables: dict, weight: str) -> dict:
     """Resolve cfg.MODEL.WEIGHT for stage handoff
     (reference DetectronCheckpointer.load + scripts/car/vob/train_rcnn.sh:1-9
-    ckpt copying): `weight` is either a previous stage's orbax checkpoint
-    directory or a released torch .pth; parameters are merged into
-    `variables` by fuzzy suffix alignment."""
-    if weight.endswith((".pth", ".pkl", ".tar")):
+    ckpt copying): `weight` is a previous stage's orbax checkpoint directory,
+    a released torch .pth/.tar, a Detectron/Caffe2 .pkl, or a catalog:// /
+    URL name (resolved to the local weight cache); parameters are merged
+    into `variables` by fuzzy suffix alignment."""
+    weight = resolve_weight(weight)
+    if weight.endswith(".pkl"):
+        from .torch_import import import_c2_backbone
+
+        src_params, src_frozen = import_c2_backbone(weight)
+    elif weight.endswith((".pth", ".tar")):
         from .torch_import import import_disprcnn2d
 
         src_params, src_frozen = import_disprcnn2d(weight)

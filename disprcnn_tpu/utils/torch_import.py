@@ -182,3 +182,83 @@ def import_disprcnn2d(path: str) -> tuple[dict, dict]:
     sd = convert_state_dict(sd, transpose_conv_names=("conv5_mask",))
     sd = remap_disprcnn2d_names(sd)
     return split_params_frozen(to_tree(sd))
+
+
+# -- Caffe2 / Detectron pickle import ---------------------------------------
+# Reference: utils/c2_model_loading.py:12-175 (maskrcnn-benchmark lineage).
+# Detectron pickles store flat numpy blobs named in caffe2 convention
+# (res2_0_branch2a_w, res2_0_branch2a_bn_s, conv1_w, fpn_inner_res2_2_sum_w,
+# ...); they carry affine BN only (scale s / bias b, no running stats — the
+# stats are pre-folded), so FrozenBatchNorm mean/var are synthesized as 0/1.
+
+_C2_STAGE = {"res2": "layer1", "res3": "layer2", "res4": "layer3", "res5": "layer4"}
+_C2_BRANCH = {
+    "branch2a": "conv1", "branch2b": "conv2", "branch2c": "conv3",
+    "branch1": "downsample.0",
+}
+
+
+def rename_c2_resnet_key(k: str):
+    """caffe2 blob name -> maskrcnn-benchmark torch name (backbone only).
+    Returns None for blobs with no torch counterpart (momentum etc.)."""
+    if k.endswith("_momentum") or k.startswith(("fc1000", "pred_")):
+        return None
+    m = re.match(r"^conv1_(w|b)$", k)
+    if m:
+        return f"backbone.body.stem.conv1.{'weight' if m.group(1) == 'w' else 'bias'}"
+    m = re.match(r"^res_conv1_bn_(s|b)$", k) or re.match(r"^conv1_bn_(s|b)$", k)
+    if m:
+        return f"backbone.body.stem.bn1.{'weight' if m.group(1) == 's' else 'bias'}"
+    m = re.match(r"^(res[2-5])_(\d+)_(branch(?:1|2[abc]))(_bn)?_(w|b|s)$", k)
+    if m:
+        stage, blk, br, bn, leaf = m.groups()
+        torch_mod = _C2_BRANCH[br]
+        if bn:
+            # branchNx_bn -> bnN / downsample.1
+            torch_mod = ("downsample.1" if torch_mod == "downsample.0"
+                         else torch_mod.replace("conv", "bn"))
+        leaf_name = {"w": "weight", "s": "weight", "b": "bias"}[leaf]
+        return f"backbone.body.{_C2_STAGE[stage]}.{blk}.{torch_mod}.{leaf_name}"
+    m = re.match(r"^fpn_inner_(res[2-5])_\d+_sum(?:_lateral)?_(w|b)$", k)
+    if m:
+        lvl = int(m.group(1)[3]) - 1  # res2 -> fpn_inner1
+        return f"backbone.fpn.fpn_inner{lvl}.{'weight' if m.group(2) == 'w' else 'bias'}"
+    m = re.match(r"^fpn_(res[2-5])_\d+_sum_(w|b)$", k)
+    if m:
+        lvl = int(m.group(1)[3]) - 1
+        return f"backbone.fpn.fpn_layer{lvl}.{'weight' if m.group(2) == 'w' else 'bias'}"
+    return None
+
+
+def load_c2_pickle(path: str) -> Dict[str, np.ndarray]:
+    import pickle
+
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    if isinstance(data, dict) and "blobs" in data:
+        data = data["blobs"]
+    return {k: np.asarray(v) for k, v in data.items()
+            if isinstance(v, np.ndarray) or hasattr(v, "shape")}
+
+
+def import_c2_backbone(path: str) -> tuple[dict, dict]:
+    """Detectron .pkl -> (params, frozen) trees (ResNet-FPN backbone scope).
+
+    BN appears as affine (s, b); running stats are synthesized (mean 0,
+    var 1) so the frozen-collection trees are complete."""
+    raw = load_c2_pickle(path)
+    sd: Dict[str, np.ndarray] = {}
+    for k, v in raw.items():
+        nk = rename_c2_resnet_key(k)
+        if nk is not None:
+            sd[nk] = v
+    # synthesize stats for every BN module seen
+    for k in list(sd.keys()):
+        if (".bn" in k or "downsample.1" in k) and k.endswith(".weight"):
+            base = k.rsplit(".", 1)[0]
+            n = sd[k].shape[0]
+            sd.setdefault(f"{base}.running_mean", np.zeros((n,), np.float32))
+            sd.setdefault(f"{base}.running_var", np.ones((n,), np.float32))
+    sd = convert_state_dict(sd)
+    sd = remap_disprcnn2d_names(sd)
+    return split_params_frozen(to_tree(sd))

@@ -136,3 +136,34 @@ def test_merge_predictions_across_hosts_rekey(monkeypatch):
     assert sorted(merged.keys()) == ["000001", "000002", "000003", "000004"]
     np.testing.assert_array_equal(merged["000002"]["box"], np.full((2, 4), 2.0))
     np.testing.assert_array_equal(merged["000004"]["score"], np.asarray([0.6, 0.4]))
+
+
+def test_loader_aspect_grouping():
+    """group_by_aspect partitions each epoch's order into aspect clusters
+    (reference grouped_batch_sampler.py semantics) without dropping samples."""
+    import numpy as np
+
+    from disprcnn_tpu.data.loader import StereoBatchLoader
+
+    class _DS:
+        def __len__(self):
+            return 10
+
+        def image_sizes(self):
+            # 5 landscape, 5 portrait interleaved
+            return [(100, 50) if i % 2 == 0 else (50, 100) for i in range(10)]
+
+        def __getitem__(self, i):
+            raise AssertionError("index stream test only")
+
+    ld = StereoBatchLoader(_DS(), 2, (32, 32), shuffle=False, max_iter=5,
+                           group_by_aspect=True)
+    idxs = []
+    it = ld._index_stream()
+    for _ in range(10):
+        idxs.append(next(it))
+    assert sorted(idxs) == list(range(10))
+    groups = [i % 2 for i in idxs]
+    # one contiguous run per group
+    flips = sum(1 for a, b in zip(groups, groups[1:]) if a != b)
+    assert flips == 1

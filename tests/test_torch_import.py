@@ -88,3 +88,58 @@ def test_import_into_model_matches_shapes():
         params["backbone"]["body"]["layer1_0"]["downsample_conv"]["kernel"].shape
         == tgt["backbone"]["body"]["layer1_0"]["downsample_conv"]["kernel"].shape
     )
+
+
+def test_c2_pickle_import(tmp_path):
+    """Synthetic Detectron/Caffe2 blob pickle (caffe2 names, affine BN, OIHW
+    convs) imports into the frozen/params split with correct layouts
+    (reference c2_model_loading.py:12-175 rename chain)."""
+    import pickle
+
+    from disprcnn_tpu.utils.checkpoint import load_stage_weights, resolve_weight
+    from disprcnn_tpu.utils.torch_import import import_c2_backbone, rename_c2_resnet_key
+
+    rng = np.random.default_rng(0)
+    blobs = {
+        "conv1_w": rng.normal(size=(64, 3, 7, 7)).astype(np.float32),
+        "res_conv1_bn_s": rng.normal(size=(64,)).astype(np.float32),
+        "res_conv1_bn_b": rng.normal(size=(64,)).astype(np.float32),
+        "res2_0_branch2a_w": rng.normal(size=(64, 64, 1, 1)).astype(np.float32),
+        "res2_0_branch2a_bn_s": rng.normal(size=(64,)).astype(np.float32),
+        "res2_0_branch2a_bn_b": rng.normal(size=(64,)).astype(np.float32),
+        "res2_0_branch1_w": rng.normal(size=(256, 64, 1, 1)).astype(np.float32),
+        "res2_0_branch1_bn_s": rng.normal(size=(256,)).astype(np.float32),
+        "res2_0_branch1_bn_b": rng.normal(size=(256,)).astype(np.float32),
+        "res2_0_branch2a_bn_riv": rng.normal(size=(64,)).astype(np.float32),
+        "pred_w": rng.normal(size=(1000, 2048)).astype(np.float32),  # dropped
+    }
+    p = tmp_path / "R-50.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"blobs": blobs}, f)
+
+    assert rename_c2_resnet_key("res3_4_branch2b_w") == \
+        "backbone.body.layer2.4.conv2.weight"
+    assert rename_c2_resnet_key("res5_2_branch1_bn_s") == \
+        "backbone.body.layer4.2.downsample.1.weight"
+    assert rename_c2_resnet_key("fc1000_w") is None
+
+    params, frozen = import_c2_backbone(str(p))
+    stem = frozen["backbone"]["body"]["stem"]["FrozenBatchNorm_0"]
+    np.testing.assert_array_equal(stem["scale"], blobs["res_conv1_bn_s"])
+    np.testing.assert_array_equal(stem["mean"], np.zeros(64))
+    np.testing.assert_array_equal(stem["var"], np.ones(64))
+    conv1 = params["backbone"]["body"]["stem"]["conv1"]["kernel"]
+    assert conv1.shape == (7, 7, 3, 64)  # OIHW -> HWIO
+    ds = frozen["backbone"]["body"]["layer1_0"]["FrozenBatchNorm_3"]
+    np.testing.assert_array_equal(ds["scale"], blobs["res2_0_branch1_bn_s"])
+
+    # catalog:// resolution contract
+    import os
+
+    os.environ["DISPRCNN_WEIGHTS"] = str(tmp_path)
+    try:
+        assert resolve_weight("catalog://ImageNetPretrained/MSRA/R-50") == str(p)
+        with pytest.raises(FileNotFoundError):
+            resolve_weight("catalog://ImageNetPretrained/MSRA/R-101")
+    finally:
+        del os.environ["DISPRCNN_WEIGHTS"]

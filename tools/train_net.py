@@ -82,6 +82,7 @@ def main():
         ds, per_host_bs, hw, shuffle=cfg.INPUT.SHUFFLE,
         size_divisibility=max(cfg.DATALOADER.SIZE_DIVISIBILITY, 32),
         max_iter=cfg.SOLVER.MAX_ITER,
+        group_by_aspect=cfg.DATALOADER.ASPECT_RATIO_GROUPING,
     )
 
     model = build_detection_model(cfg)
@@ -139,6 +140,17 @@ def main():
         state, metrics = jitted(state, to_device(batch), rng)
         if it % cfg.SOLVER.PRINT_INTERVAL == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
+            # NaN sentinel (reference keeps torch.autograd.set_detect_anomaly
+            # permanently on, train_net.py:24; here a host-side loss check at
+            # log cadence keeps the jitted step clean — set
+            # JAX_DEBUG_NANS=1 for the op-level equivalent)
+            bad = [k for k, v in metrics.items() if not np.isfinite(v)]
+            if bad:
+                msg = f"non-finite losses at iter {it}: {bad}"
+                if cfg.SOLVER.ALLOW_EXCEPTION:
+                    logger.warning(msg + " (ALLOW_EXCEPTION: continuing)")
+                else:
+                    raise FloatingPointError(msg)
             meters.update(**metrics)
             eta = (time.perf_counter() - t0) / max(it - start_iter + 1, 1) * (
                 cfg.SOLVER.MAX_ITER - it
