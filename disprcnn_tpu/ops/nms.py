@@ -162,7 +162,12 @@ def nms_topk(
     if _use_pallas_nms(boxes.shape[0]):
         from .pallas.nms import nms_sorted_pallas
 
-        pos, ok = nms_sorted_pallas(b, valid[order], k, iou_thresh, to_remove)
+        # NMS emits indices (no gradient); stop_gradient keeps autodiff from
+        # tracing a JVP through the pallas_call (which has no JVP rule —
+        # the train path reaches here via RPN proposal selection)
+        pos, ok = nms_sorted_pallas(
+            jax.lax.stop_gradient(b), valid[order], k, iou_thresh, to_remove
+        )
         return order[pos], ok
     iou = pairwise_iou(b, b, to_remove=to_remove)
     keep_sorted = _greedy_keep(iou, valid[order], iou_thresh)
@@ -308,7 +313,7 @@ def nms_topk_batched(
 
         pos, ok = jax.vmap(
             lambda bb, vv: nms_sorted_pallas(bb, vv, k, iou_thresh, to_remove)
-        )(bo, vo)
+        )(jax.lax.stop_gradient(bo), vo)
         return (pos if order is None
                 else jnp.take_along_axis(order, pos, axis=1)), ok
     iou = _pairwise_iou_batched(bo, bo, to_remove)

@@ -69,7 +69,11 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     if jax.default_backend() == "tpu":
         from .pallas.fps import furthest_point_sample_pallas
 
-        return furthest_point_sample_pallas(xyz, npoint)
+        # index output: no gradient flows through selection; stop_gradient
+        # keeps autodiff from tracing the pallas_call (no JVP rule) when the
+        # point cloud carries tangents (train: points differentiable through
+        # the disparity lift)
+        return furthest_point_sample_pallas(jax.lax.stop_gradient(xyz), npoint)
     return jax.vmap(lambda p: _fps_single(p, npoint))(xyz)
 
 

@@ -73,3 +73,47 @@ def test_pallas_nms_vmapped(rng):
         si, sok = nms_sorted_pallas(boxes[i], valid[i], k, 0.5, 1.0, interpret=True)
         np.testing.assert_array_equal(np.asarray(got_i[i]), np.asarray(si))
         np.testing.assert_array_equal(np.asarray(got_ok[i]), np.asarray(sok))
+
+
+import sys
+
+rng_global = np.random.default_rng(123)
+
+
+def test_grad_through_pallas_nms_branch(monkeypatch):
+    """Autodiff through a loss that routes box selection via the Pallas NMS
+    must work: selection is index-valued (stop_gradient inside), gradients
+    flow through the downstream gather (regression: the pallas_call has no
+    JVP rule and the 2D TRAIN path reaches it through RPN proposal
+    selection on TPU)."""
+    import disprcnn_tpu.ops.nms as nms_mod
+    from disprcnn_tpu.ops.pallas.nms import nms_sorted_pallas
+
+    monkeypatch.setattr(nms_mod, "_use_pallas_nms", lambda n: True)
+    monkeypatch.setitem(
+        sys.modules["disprcnn_tpu.ops.pallas.nms"].__dict__,
+        "nms_sorted_pallas",
+        lambda *a, **k: nms_sorted_pallas(*a, interpret=True, **k),
+    )
+    n, k = 32, 4
+    xy = rng_global.uniform(0, 100, (n, 2)).astype(np.float32)
+    wh = rng_global.uniform(5, 30, (n, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    scores = jnp.asarray(rng_global.uniform(size=n).astype(np.float32))
+
+    def loss(b):
+        idx, ok = nms_mod.nms_topk(b, scores, jnp.ones((n,), bool), 0.5, k)
+        return jnp.sum(jnp.where(ok[:, None], b[idx], 0.0))
+
+    g = jax.grad(loss)(boxes)
+    assert g.shape == boxes.shape and bool(jnp.any(g != 0))
+
+    def loss_b(b):
+        idx, ok = nms_mod.nms_topk_batched(
+            b[None], scores[None], jnp.ones((1, n), bool), 0.5, k)
+        return jnp.sum(jnp.where(ok[..., None], jnp.take_along_axis(
+            b[None], idx[..., None], axis=1), 0.0))
+
+    gb = jax.grad(loss_b)(boxes)
+    assert gb.shape == boxes.shape and bool(jnp.any(gb != 0))
+
