@@ -39,9 +39,14 @@ class SharedMLP(nn.Module):
         for i, c in enumerate(self.channels):
             x = nn.Dense(c, use_bias=not self.use_bn, dtype=self.dtype, name=f"mlp{i}")(x)
             if self.use_bn:
+                # dtype: keep activations in the compute dtype — the flax
+                # default promotes BN outputs to f32, doubling the HBM
+                # traffic of every grouped (B, M, S, C) block and the
+                # max-pool reductions that consume them (stats still
+                # accumulate in f32 inside flax)
                 x = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    name=f"bn{i}",
+                    name=f"bn{i}", dtype=self.dtype,
                 )(x)
             x = nn.relu(x)
         return x

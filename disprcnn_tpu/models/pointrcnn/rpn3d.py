@@ -36,7 +36,7 @@ class ConvHead(nn.Module):
             if self.use_bn:
                 x = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    name=f"bn{i}",
+                    name=f"bn{i}", dtype=self.dtype,
                 )(x)
             x = nn.relu(x)
             if i == 0 and self.dp_ratio > 0:

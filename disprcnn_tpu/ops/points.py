@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -110,26 +111,43 @@ def ball_query(
     repeated in the tail slots.
     """
     n = xyz.shape[1]
+    # the first-k selection has two exact forms with the same (M, ns, N)
+    # virtual size; which wins depends on scale (the VPU count loop is
+    # compute-bound ~13 ps/elem; the one-hot MXU contraction is faster but
+    # pays one-hot operand traffic that grows with the problem):
+    use_einsum = (
+        np.prod(new_xyz.shape[:2]) * nsample * n <= 400_000_000
+        and jax.default_backend() == "tpu"
+    )
 
     def per_batch(centers, pts):
         d2 = _sqdist(centers, pts)  # (M, N)
         mask = d2 < radius * radius
         # Sort-free first-k selection: rank = running count of in-radius
-        # points; the k-th neighbour's index is the number of positions with
-        # rank <= k (compare+reduce — top_k lowers to a full (M, N) sort on
-        # TPU, measured 10.6 ms across the SA ladder). The reduce re-reads
-        # rank nsample times, so it is CLAMPED to nsample+1 and stored bf16
-        # (exact: values <= 65 << 256), quartering that traffic vs i32.
-        # (A one-hot einsum variant streams rank once but materializes the
-        # (M, nsample, N) operand — measured +6 ms on the RCNN stage.)
+        # points (top_k lowers to a full (M, N) sort on TPU, measured
+        # 10.6 ms across the SA ladder).
         rank = jnp.cumsum(mask, axis=-1, dtype=jnp.int32)  # (M, N)
-        rankc = jnp.minimum(rank, nsample + 1).astype(jnp.bfloat16)
-        ks = jnp.arange(nsample, dtype=jnp.bfloat16)
-        cand = jnp.sum(
-            (rankc[:, None, :] <= ks[None, :, None]).astype(jnp.int32), axis=-1
-        )  # (M, nsample): index of the (k+1)-th in-radius point, or N
         cnt = jnp.minimum(rank[:, -1], nsample)  # (M,)
-        cand = jnp.minimum(cand, n - 1)
+        if use_einsum:
+            # the (k+1)-th in-radius point is the unique MASKED position with
+            # rank == k+1: a one-hot contraction over N on the MXU (indices
+            # are exact in f32)
+            ks1 = jnp.arange(1, nsample + 1, dtype=jnp.int32)
+            oh = (rank[:, None, :] == ks1[None, :, None]) & mask[:, None, :]
+            cand = jnp.einsum(
+                "mkn,n->mk", oh.astype(jnp.float32),
+                jnp.arange(n, dtype=jnp.float32),
+            ).astype(jnp.int32)  # 0 where no such point
+        else:
+            # count of positions with rank <= k (the one-hot operand would
+            # not fit fusion at this scale: measured +6 ms on the RCNN stage)
+            rankc = jnp.minimum(rank, nsample + 1).astype(jnp.bfloat16)
+            ks = jnp.arange(nsample, dtype=jnp.bfloat16)
+            cand = jnp.sum(
+                (rankc[:, None, :] <= ks[None, :, None]).astype(jnp.int32),
+                axis=-1,
+            )
+            cand = jnp.minimum(cand, n - 1)
         first = cand[:, :1]
         slot_valid = jnp.arange(nsample)[None, :] < cnt[:, None]
         out = jnp.where(slot_valid, cand, first)

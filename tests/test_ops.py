@@ -228,3 +228,20 @@ def test_roi_align_gather_matches_matrix(rng):
         a = roi_align_batched(feat, boxes, bi, pooled, 0.25, s)
         g = roi_align_batched_gather(feat, boxes, bi, pooled, 0.25, s)
         np.testing.assert_allclose(np.asarray(a), np.asarray(g), rtol=1e-5, atol=1e-5)
+
+
+def test_ball_query_einsum_branch_matches(monkeypatch, rng):
+    """The MXU one-hot selection branch (TPU-only by default) must agree with
+    the count branch and the oracle."""
+    import jax as _jax
+
+    import disprcnn_tpu.ops.points as pts_mod
+
+    centers = rng.normal(size=(2, 24, 3)).astype(np.float32)
+    pts = rng.normal(size=(2, 40, 3)).astype(np.float32)
+    want = pts_mod.ball_query(jnp.asarray(centers), jnp.asarray(pts), 0.9, 8)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    # fresh trace (jit caches by args, not by the monkeypatched branch):
+    got = pts_mod.ball_query.__wrapped__(
+        jnp.asarray(centers), jnp.asarray(pts), 0.9, 8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
