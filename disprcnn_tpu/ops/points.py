@@ -97,6 +97,42 @@ def gather_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(lambda f, i: f[i])(feats, idx)
 
 
+def first_k_true(mask: jnp.ndarray, k: int):
+    """Indices of the first k True entries per row, in scan order.
+
+    mask (R, N) bool -> (idx (R, k) int32, cnt (R,) int32). Slots >= cnt hold
+    unspecified valid indices (callers overwrite them); rows with cnt == 0
+    hold zeros.
+
+    Two exact sort-free forms with the same (R, k, N) virtual size; which
+    wins depends on scale (the VPU compare+count loop is compute-bound at
+    ~13 ps/element regardless of dtype — verified; the one-hot MXU
+    contraction is ~3x faster but its operand stops fusing at large sizes:
+    measured +6 ms on the RCNN stage at 1.07G elements).
+    """
+    r, n = mask.shape
+    rank = jnp.cumsum(mask, axis=-1, dtype=jnp.int32)  # (R, N)
+    cnt = jnp.minimum(rank[:, -1], k)
+    if r * k * n <= 400_000_000 and jax.default_backend() == "tpu":
+        # the (j+1)-th True entry is the unique MASKED position with
+        # rank == j+1: one-hot contraction over N (indices exact in f32)
+        ks1 = jnp.arange(1, k + 1, dtype=jnp.int32)
+        oh = (rank[:, None, :] == ks1[None, :, None]) & mask[:, None, :]
+        idx = jnp.einsum(
+            "rkn,n->rk", oh.astype(jnp.float32),
+            jnp.arange(n, dtype=jnp.float32),
+        ).astype(jnp.int32)  # 0 where no such entry
+    else:
+        # count of positions with rank <= j; clamped bf16 rank (exact)
+        rankc = jnp.minimum(rank, k + 1).astype(jnp.bfloat16)
+        ks = jnp.arange(k, dtype=jnp.bfloat16)
+        idx = jnp.sum(
+            (rankc[:, None, :] <= ks[None, :, None]).astype(jnp.int32), axis=-1
+        )
+        idx = jnp.minimum(idx, n - 1)
+    return idx, cnt
+
+
 @partial(jax.jit, static_argnames=("nsample", "radius"))
 def ball_query(
     new_xyz: jnp.ndarray,  # (B, M, 3) query centers
@@ -110,50 +146,16 @@ def ball_query(
     strict `< radius^2`, empty ball -> zeros, partial ball -> first neighbour
     repeated in the tail slots.
     """
+    b, m = new_xyz.shape[:2]
     n = xyz.shape[1]
-    # the first-k selection has two exact forms with the same (M, ns, N)
-    # virtual size; which wins depends on scale (the VPU count loop is
-    # compute-bound ~13 ps/elem; the one-hot MXU contraction is faster but
-    # pays one-hot operand traffic that grows with the problem):
-    use_einsum = (
-        np.prod(new_xyz.shape[:2]) * nsample * n <= 400_000_000
-        and jax.default_backend() == "tpu"
-    )
-
-    def per_batch(centers, pts):
-        d2 = _sqdist(centers, pts)  # (M, N)
-        mask = d2 < radius * radius
-        # Sort-free first-k selection: rank = running count of in-radius
-        # points (top_k lowers to a full (M, N) sort on TPU, measured
-        # 10.6 ms across the SA ladder).
-        rank = jnp.cumsum(mask, axis=-1, dtype=jnp.int32)  # (M, N)
-        cnt = jnp.minimum(rank[:, -1], nsample)  # (M,)
-        if use_einsum:
-            # the (k+1)-th in-radius point is the unique MASKED position with
-            # rank == k+1: a one-hot contraction over N on the MXU (indices
-            # are exact in f32)
-            ks1 = jnp.arange(1, nsample + 1, dtype=jnp.int32)
-            oh = (rank[:, None, :] == ks1[None, :, None]) & mask[:, None, :]
-            cand = jnp.einsum(
-                "mkn,n->mk", oh.astype(jnp.float32),
-                jnp.arange(n, dtype=jnp.float32),
-            ).astype(jnp.int32)  # 0 where no such point
-        else:
-            # count of positions with rank <= k (the one-hot operand would
-            # not fit fusion at this scale: measured +6 ms on the RCNN stage)
-            rankc = jnp.minimum(rank, nsample + 1).astype(jnp.bfloat16)
-            ks = jnp.arange(nsample, dtype=jnp.bfloat16)
-            cand = jnp.sum(
-                (rankc[:, None, :] <= ks[None, :, None]).astype(jnp.int32),
-                axis=-1,
-            )
-            cand = jnp.minimum(cand, n - 1)
-        first = cand[:, :1]
-        slot_valid = jnp.arange(nsample)[None, :] < cnt[:, None]
-        out = jnp.where(slot_valid, cand, first)
-        return jnp.where(cnt[:, None] > 0, out, 0).astype(jnp.int32)
-
-    return jax.vmap(per_batch)(new_xyz, xyz)
+    d2 = jax.vmap(_sqdist)(new_xyz, xyz)  # (B, M, N)
+    mask = (d2 < radius * radius).reshape(b * m, n)
+    cand, cnt = first_k_true(mask, nsample)
+    first = cand[:, :1]
+    slot_valid = jnp.arange(nsample)[None, :] < cnt[:, None]
+    out = jnp.where(slot_valid, cand, first)
+    out = jnp.where(cnt[:, None] > 0, out, 0).astype(jnp.int32)
+    return out.reshape(b, m, nsample)
 
 
 def group_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -39,19 +39,19 @@ def pts_in_boxes3d(pts: jnp.ndarray, boxes3d: jnp.ndarray, max_dis: float = 10.0
     return near & inside
 
 
-def _first_k_cycled(mask_row: jnp.ndarray, k: int):
-    """Indices of the first k True entries in scan order, tail cycling (i % cnt).
+def _first_k_cycled_rows(mask: jnp.ndarray, k: int):
+    """Indices of the first k True entries per row (scan order), tail cycling
+    (slot % cnt). mask (R, N) -> (idx (R, k), cnt (R,)). All-False rows give
+    zeros. Selection via ops.points.first_k_true (sort-free: a per-row sort
+    of the masked iota costs a full (R, N) sort on TPU)."""
+    from .points import first_k_true
 
-    Returns (idx (k,), cnt scalar). All-False rows give zeros.
-    """
-    n = mask_row.shape[0]
-    order_key = jnp.where(mask_row, jnp.arange(n), n)
-    cand = jnp.sort(order_key)[:k]
-    cnt = jnp.minimum(jnp.sum(mask_row), k)
-    slot = jnp.arange(k)
-    sel = jnp.where(slot < cnt, slot, slot % jnp.maximum(cnt, 1))
-    out = cand[sel]
-    return jnp.where(cnt > 0, out, 0).astype(jnp.int32), cnt
+    cand, cnt = first_k_true(mask, k)
+    slot = jnp.arange(k)[None, :]
+    sel = jnp.where(slot < cnt[:, None], slot,
+                    slot % jnp.maximum(cnt[:, None], 1))
+    out = jnp.take_along_axis(cand, sel, axis=1)
+    return jnp.where(cnt[:, None] > 0, out, 0).astype(jnp.int32), cnt
 
 
 @partial(jax.jit, static_argnames=("sampled_pts_num",))
@@ -63,16 +63,21 @@ def roipool3d(
 ):
     """-> pooled (B, M, S, 3 + C), empty_flag (B, M) bool."""
 
-    def per_batch(p, f, b):
-        mask = pts_in_boxes3d(p, b)  # (M, N)
-        idx, cnt = jax.vmap(lambda row: _first_k_cycled(row, sampled_pts_num))(mask)
-        full = jnp.concatenate([p, f], axis=-1)  # (N, 3+C)
-        pooled = full[idx]  # (M, S, 3+C)
-        empty = cnt == 0
-        pooled = jnp.where(empty[:, None, None], 0.0, pooled)
-        return pooled, empty
+    bsz, n = pts.shape[0], pts.shape[1]
+    m = boxes3d.shape[1]
+    mask = jax.vmap(pts_in_boxes3d)(pts, boxes3d)  # (B, M, N)
+    idx, cnt = _first_k_cycled_rows(mask.reshape(bsz * m, n), sampled_pts_num)
+    idx = idx.reshape(bsz, m, sampled_pts_num)
+    cnt = cnt.reshape(bsz, m)
 
-    return jax.vmap(per_batch)(pts, feats, boxes3d)
+    def per_batch(p, f, i):
+        full = jnp.concatenate([p, f], axis=-1)  # (N, 3+C)
+        return full[i]  # (M, S, 3+C)
+
+    pooled = jax.vmap(per_batch)(pts, feats, idx)
+    empty = cnt == 0
+    pooled = jnp.where(empty[:, :, None, None], 0.0, pooled)
+    return pooled, empty
 
 
 def enlarge_box3d(boxes3d: jnp.ndarray, extra_width: float) -> jnp.ndarray:
