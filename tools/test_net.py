@@ -29,6 +29,12 @@ def parse_args():
     p.add_argument("--evaluate", action="store_true",
                    help="run the KITTI AP evaluator on the written txt")
     p.add_argument("--gt-dir", default=None, help="label dir for --evaluate")
+    p.add_argument("--roi-buckets", default=None,
+                   help="comma list (e.g. 4,8,16): per-image ROI-count bucket "
+                        "dispatch for the 3D stage — one compiled program per "
+                        "bucket; real scenes rarely fill TPU.MAX_DETECTIONS, "
+                        "so small-bucket images skip most of the iDispNet/"
+                        "PointRCNN compute (requires TEST.IMS_PER_BATCH=1)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu for smoke runs)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
@@ -127,8 +133,43 @@ def main():
                     pred["masks"] = np.asarray(out["masks"])
                 return pred
         else:  # DispRCNN3D: full pipeline, keep the 2D boxes + 3D outputs
+            buckets = (sorted({int(x) for x in args.roi_buckets.split(",")})
+                       if args.roi_buckets else None)
+
+            def slice_dets(kw, k):
+                from disprcnn_tpu.structures.stereo import StereoBoxes
+
+                dd = kw["dets"]
+                kw = dict(kw)
+                kw["dets"] = StereoBoxes(
+                    left=dd.left[:, :k], right=dd.right[:, :k],
+                    score=dd.score[:, :k], valid=dd.valid[:, :k],
+                    fields={f: v[:, :k] for f, v in dd.fields.items()},
+                )
+                return kw
+
             def predict(batch):
-                out = apply(variables, convert(batch, train=False))
+                kw = convert(batch, train=False)
+                dfull = kw["dets"].left.shape[1]
+                k = dfull
+                if buckets and kw["dets"].left.shape[0] == 1:
+                    # detections are score-ordered with valid entries first
+                    # (bh.postprocess top_k), so the [:k] slice is lossless
+                    # whenever k >= #valid
+                    nv = int(np.asarray(kw["dets"].valid).sum())
+                    k = min(next((b for b in buckets if b >= nv), dfull), dfull)
+                    kw = slice_dets(kw, k)
+                out = apply(variables, kw)
+                if k != dfull:
+                    # pad the (B, D, ...) outputs back to the full ROI budget
+                    # (tail slots were invalid anyway)
+                    pad = dfull - k
+                    out = dict(out)
+                    for key in ("box3d", "score3d", "random", "roi_ok"):
+                        if key in out:
+                            a = np.asarray(out[key])
+                            pw = [(0, 0), (0, pad)] + [(0, 0)] * (a.ndim - 2)
+                            out[key] = np.pad(a, pw)
                 valid = batch["pred_valid"]
                 if "roi_ok" in out:
                     valid = valid & np.asarray(out["roi_ok"])
