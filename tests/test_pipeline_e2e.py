@@ -120,3 +120,68 @@ def test_four_stage_recipe(mini_kitti, tmp_path):
     first = next(iter(p3.values()))
     assert "box3d" in first and first["box3d"].shape[-1] == 7
     assert "score3d" in first
+
+
+def test_standalone_idispnet_recipe(mini_kitti, tmp_path):
+    import shutil
+    """Stage-2 STANDALONE recipe (reference scripts/car/vob/train_idispnet.sh:
+    predictions -> split_predictions -> generate_psmnet_input -> ROI dataset
+    -> train_idispnet): fabricated 2D predictions (jittered GT) feed the
+    generator; the trained-from-scratch iDispNet runs one epoch on the
+    generated ROI dataset. Also guards the raw-crop contract (the ROI loader
+    ImageNet-normalizes at load: generator output must be raw)."""
+    import numpy as np
+
+    out = str(tmp_path)
+    # fabricate stage-1 predictions from GT labels of the mini-KITTI train set
+    sys.path.insert(0, REPO)
+    os.environ["DISPRCNN_DATA_DIR"] = mini_kitti
+    from disprcnn_tpu.config import get_default_cfg
+    from disprcnn_tpu.data.catalog import resolve
+
+    cfg = get_default_cfg()
+    ds = resolve("kitti_train_vob_car", cfg, training=False, transforms=None)
+    rng = np.random.default_rng(0)
+    preds = {}
+    for i in range(len(ds)):
+        s = ds[i]
+        gl, gv = s["gt_left"], s["gt_valid"]
+        n = int(gv.sum())
+        if n == 0:
+            continue
+        jit = rng.uniform(-2, 2, (n, 4)).astype(np.float32)
+        lb = gl[:n] + jit
+        rb = lb - np.asarray([8.0, 0, 8, 0], np.float32)
+        preds[s["imgid"]] = {
+            "left_boxes": lb, "right_boxes": rb,
+            "scores": np.full((n,), 0.9, np.float32),
+            "valid": np.ones((n,), bool),
+            "labels": np.ones((n,), np.int32),
+            "masks": np.full((n, 28, 28), 0.9, np.float32),
+        }
+    import pickle
+
+    with open(f"{out}/predictions.pkl", "wb") as f:
+        pickle.dump(preds, f)
+
+    run(["tools/split_predictions.py", "--predictions", f"{out}/predictions.pkl",
+         "--out", f"{out}/split"], mini_kitti)
+    assert len(os.listdir(f"{out}/split")) == len(preds)
+
+    run(["tools/generate_psmnet_input.py", "--predictions",
+         f"{out}/predictions.pkl", "--dataset", "kitti_train_vob_car",
+         "--out", f"{out}/roi/train", "--roi-size", "32"], mini_kitti)
+    files = sorted(os.listdir(f"{out}/roi/train"))
+    assert files and files[0].endswith(".npz")
+    rec = dict(np.load(f"{out}/roi/train/{files[0]}"))
+    assert rec["left"].shape == (32, 32, 3)
+    # raw [0, 1] crops, NOT ImageNet-normalized (loader normalizes)
+    assert rec["left"].min() >= -0.01 and rec["left"].max() <= 1.01
+    os.makedirs(f"{out}/roi/val", exist_ok=True)
+    for f2 in files[:1]:
+        shutil.copy(f"{out}/roi/train/{f2}", f"{out}/roi/val/{f2}")
+
+    run(["tools/train_idispnet.py", "--data-dir", f"{out}/roi", "--epochs", "1",
+         "--bs", "2", "--roi-size", "32", "--maxdisp", "16", "--mindisp", "-16",
+         "--cpu", "--output", f"{out}/idispnet_sa"], mini_kitti)
+

@@ -36,11 +36,11 @@ def main():
     from disprcnn_tpu.config import get_default_cfg
     from disprcnn_tpu.data.catalog import resolve
     from disprcnn_tpu.models.detector.disprcnn3d import (
-        crop_and_normalize,
         warp_gt_disparity_to_roi,
         width_aligned_crop_boxes,
     )
     from disprcnn_tpu.models.detector.disprcnn3d import _mask_on_crop
+    from disprcnn_tpu.ops.roi_align import roi_align_batched
 
     with open(args.predictions, "rb") as f:
         predictions = pickle.load(f)
@@ -67,8 +67,11 @@ def main():
         bi = jnp.zeros(len(lc), jnp.int32)
         left = jnp.asarray(sample["left"])[None]
         right = jnp.asarray(sample["right"])[None]
-        lcrops = crop_and_normalize(left, lc, bi, s)
-        rcrops = crop_and_normalize(right, rc, bi, s)
+        # RAW crops: KittiRoiDataset ImageNet-normalizes at load time
+        # (reference stores raw ROI images; crop_and_normalize would be
+        # double normalization through the load path)
+        lcrops = roi_align_batched(left, lc, bi, s, 1.0, sampling_ratio=1)
+        rcrops = roi_align_batched(right, rc, bi, s, 1.0, sampling_ratio=1)
         gt_disp = jnp.asarray(sample["gt_disp"])
         for i in range(len(lc)):
             tgt = warp_gt_disparity_to_roi(gt_disp, lc[i], rc[i], s)
