@@ -229,3 +229,60 @@ def test_basicblock_wpacked_matches_plain():
     got = wunpack(packed.apply(variables, xp, False), 2)
     want = plain.apply(variables, x, False)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_classif_repack_final_conv_matches_naive():
+    """The classif head's repack (slice-major (dg, g, c) -> channels) + G=D
+    packed 1-channel conv must equal a naive conv3d over the unpacked volume
+    (psmnet.py classif: the only place the depth packing changes group)."""
+    b, dg, g, c, hw = 2, 6, 4, 5, 8
+    d = dg * g
+    k = jax.random.split(jax.random.PRNGKey(31), 2)
+    x = jax.random.normal(k[0], (b, d, hw, hw, c))
+    kern = jax.random.normal(k[1], (3, 3, 3, c, 1))
+
+    # model-side path: rank-4 packed (b*dg, h, w, g*c) -> (b, h, w, d*c)
+    zp = to_r4(pack_depth(x, g))
+    zc = zp.reshape(b, dg, hw, hw, g * c)
+    zc = zc.transpose(0, 2, 3, 1, 4).reshape(b, hw, hw, d * c)
+    got = conv3d_packed_r4(zc, kern, d, 1)  # (b, h, w, d)
+
+    want = naive3d(x, kern)[..., 0]  # (b, d, h, w)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), np.asarray(want),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_cost_volume_packed_matches_oracle():
+    """build_cost_volume_packed vs a literal numpy rendering of the reference
+    shift-concat loop (stackhourglass.py:117-128, incl. negative mindisp),
+    and consistency with the canonical build_cost_volume."""
+    from disprcnn_tpu.models.psmnet.psmnet import (
+        build_cost_volume, build_cost_volume_packed,
+    )
+
+    b, h, w, c, g = 2, 4, 10, 3, 4
+    lo, hi = -4, 4  # D = 8
+    k = jax.random.split(jax.random.PRNGKey(41), 2)
+    lf = jax.random.normal(k[0], (b, h, w, c))
+    rf = jax.random.normal(k[1], (b, h, w, c))
+
+    # oracle: cost[b, d, h, x] = concat(left[x], right[x - i]) where both in
+    # bounds, zeros elsewhere
+    lf_n, rf_n = np.asarray(lf), np.asarray(rf)
+    want = np.zeros((b, hi - lo, h, w, 2 * c), np.float32)
+    for di, i in enumerate(range(lo, hi)):
+        for x in range(w):
+            if 0 <= x - i < w:
+                want[:, di, :, x, :c] = lf_n[:, :, x]
+                want[:, di, :, x, c:] = rf_n[:, :, x - i]
+
+    got_plain = np.asarray(build_cost_volume(lf, rf, lo, hi))
+    np.testing.assert_allclose(got_plain, want, rtol=1e-6, atol=1e-6)
+
+    got_packed = build_cost_volume_packed(lf, rf, lo, hi, g)
+    # unpack: (B*Dg, H, W, G*2C) -> (B, D, H, W, 2C)
+    dg = (hi - lo) // g
+    up = np.asarray(got_packed).reshape(b, dg, h, w, g, 2 * c)
+    up = up.transpose(0, 1, 4, 2, 3, 5).reshape(b, hi - lo, h, w, 2 * c)
+    np.testing.assert_allclose(up, want, rtol=1e-6, atol=1e-6)
