@@ -118,7 +118,7 @@ class DispRCNN(nn.Module):
             num_anchors=gen.num_anchors_per_location,
             dtype=self.dtype,
             name="rpn_head",
-        )(lf, rf)
+        )(lf, rf, both_feats=feats)
         obj_logits, deltas = stereo_rpn.flatten_levels(head_outs)
 
         out = {}

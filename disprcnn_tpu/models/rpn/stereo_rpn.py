@@ -14,7 +14,7 @@ TPU-native reformulation of the reference StereoRPN
 """
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -34,14 +34,37 @@ class SRPNHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, left_feats: Sequence[jnp.ndarray], right_feats: Sequence[jnp.ndarray]):
-        """-> list per level of (obj_logits (B,H,W,A,2), deltas (B,H,W,A,6))."""
+    def __call__(
+        self,
+        left_feats: Sequence[jnp.ndarray],
+        right_feats: Sequence[jnp.ndarray],
+        both_feats: Optional[Sequence[jnp.ndarray]] = None,
+    ):
+        """-> list per level of (obj_logits (B,H,W,A,2), deltas (B,H,W,A,6)).
+
+        When `both_feats` (the concat-batch (2B, H, W, C) backbone outputs)
+        is given, the shared 3x3 conv runs on it DIRECTLY and the views are
+        split afterwards — identical math (the conv is shared across views),
+        but the conv keeps the backbone's output layout. Slicing the batch
+        first makes XLA pick a degenerate layout for the B=1 conv: measured
+        5.4 ms vs ~1.4 ms for the same FLOPs (DispRCNN/rpn_head/conv).
+        """
         conv = nn.Conv(
             self.in_channels * 2, (3, 3), padding="SAME", dtype=self.dtype, name="conv"
         )
         cls = nn.Conv(self.num_anchors * 2, (1, 1), dtype=self.dtype, name="cls_logits")
         box = nn.Conv(self.num_anchors * 6, (1, 1), dtype=self.dtype, name="bbox_pred")
         outs = []
+        if both_feats is not None:
+            for f2 in both_feats:
+                b2 = f2.shape[0]
+                t2 = nn.relu(conv(f2))
+                t = jnp.concatenate([t2[: b2 // 2], t2[b2 // 2 :]], axis=-1)
+                b, h, w, _ = t.shape
+                logits = cls(t).reshape(b, h, w, self.num_anchors, 2)
+                deltas = box(t).reshape(b, h, w, self.num_anchors, 6)
+                outs.append((logits, deltas))
+            return outs
         for lf, rf in zip(left_feats, right_feats):
             lt = nn.relu(conv(lf))
             rt = nn.relu(conv(rf))

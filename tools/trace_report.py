@@ -55,6 +55,43 @@ def report(trace_dir: str, top: int = 30, name_len: int = 60, iters: int = 5):
                     print(f"   {dur / 1e3 / iters:9.3f} ms  {name}")
 
 
+
+def report_by_source(trace_dir: str, hlo_text: str, top: int = 25, iters: int = 5):
+    """Join device-op durations with the compiled HLO's metadata: aggregates
+    trace time per op_name prefix (module path) / source line."""
+    import re
+
+    meta = {}
+    for line in hlo_text.splitlines():
+        m = re.search(r"%(\S+?) = ", line)
+        op = re.search(r'op_name="([^"]+)"', line)
+        if m and op:
+            meta[m.group(1)] = op.group(1)
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    agg = collections.Counter()
+    unattributed = 0
+    for f in files:
+        ev = json.load(gzip.open(f))["traceEvents"]
+        for e in ev:
+            if e.get("ph") != "X" or "dur" not in e:
+                continue
+            name = e.get("name", "")
+            if name.startswith("jit_") or "$" in name or name.startswith("Pjit"):
+                continue
+            key = meta.get(name)
+            if key is None:
+                unattributed += e["dur"] if e.get("pid") == 3 else 0
+                continue
+            # aggregate at the second path level (module scope)
+            parts = key.split("/")
+            scope = "/".join(parts[1:3]) if len(parts) > 2 else key
+            agg[scope] += e["dur"]
+    total = sum(agg.values())
+    print(f"attributed {total / 1e3 / iters:.2f} ms/iter; "
+          f"unattributed {unattributed / 1e3 / iters:.2f} ms/iter")
+    for scope, dur in agg.most_common(top):
+        print(f"   {dur / 1e3 / iters:9.3f} ms  {scope}")
+
 if __name__ == "__main__":
     import sys
 
