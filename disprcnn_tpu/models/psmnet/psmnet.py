@@ -166,7 +166,7 @@ class FeatureExtraction(nn.Module):
         skip = layer(x, 128, 3, 1, 2)  # dilated
 
         h, w = skip.shape[1], skip.shape[2]
-        branches = [raw, skip]
+        spp = []
         for bi, pool in enumerate((56, 32, 16, 8)):
             p = min(pool, h)
             y = nn.avg_pool(skip, (p, p), strides=(p, p))
@@ -178,8 +178,11 @@ class FeatureExtraction(nn.Module):
             # reference upsamples SPP branches with align_corners=True
             # (submodule.py:120-133)
             y = bilinear_align_corners(y, (h, w))
-            branches.append(y)
-        x = jnp.concatenate(branches, axis=-1)  # 64+128+4*32 = 320
+            spp.append(y)
+        # reference concat order: (raw, skip, branch4..branch1) — the 8-pool
+        # branch FIRST (submodule.py:136-137); order matters for checkpoint
+        # parity through lastconv
+        x = jnp.concatenate([raw, skip] + spp[::-1], axis=-1)  # 320 ch
         x = nn.relu(ConvBN(128, 3, dtype=self.dtype, name="ConvBN_7")(x, train))
         return nn.Conv(32, (1, 1), use_bias=False, dtype=self.dtype)(x)
 

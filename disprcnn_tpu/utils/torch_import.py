@@ -262,3 +262,110 @@ def import_c2_backbone(path: str) -> tuple[dict, dict]:
     sd = convert_state_dict(sd)
     sd = remap_disprcnn2d_names(sd)
     return split_params_frozen(to_tree(sd))
+
+
+# -- released PSMNet (.tar) import ------------------------------------------
+# Reference artifact: the standalone-iDispNet checkpoint saved by
+# train_idispnet_fa.py (state_dict of modeling/psmnet/stackhourglass.PSMNet,
+# optionally "module."-prefixed). Maps every torch Sequential index to this
+# framework's explicit flax names (psmnet.py keeps auto-numbering-compatible
+# explicit names precisely so this stays mechanical).
+
+_FE_LAYER_OFFSET = {"1": 0, "2": 3, "3": 19, "4": 22}  # BasicBlock_ index base
+
+
+def remap_psmnet_name(k: str):
+    """torch PSMNet state-dict key (module path, leaf stripped) -> flax path,
+    or None for buffers with no counterpart (num_batches_tracked)."""
+    k = re.sub(r"^(module\.|model\.)", "", k)
+    m = re.match(r"^feature_extraction\.firstconv\.([024])\.([01])$", k)
+    if m:
+        i = int(m.group(1)) // 2
+        sub = "Conv_0" if m.group(2) == "0" else "BatchNorm_0"
+        return f"feature_extraction.ConvBN_{i}.{sub}"
+    m = re.match(r"^feature_extraction\.layer([1-4])\.(\d+)\.(.+)$", k)
+    if m:
+        blk = _FE_LAYER_OFFSET[m.group(1)] + int(m.group(2))
+        rest = m.group(3)
+        sub = {
+            "conv1.0.0": "ConvBN_0.Conv_0", "conv1.0.1": "ConvBN_0.BatchNorm_0",
+            "conv2.0": "ConvBN_1.Conv_0", "conv2.1": "ConvBN_1.BatchNorm_0",
+            "downsample.0": "Conv_0", "downsample.1": "BatchNorm_0",
+        }.get(rest)
+        return None if sub is None else f"feature_extraction.BasicBlock_{blk}.{sub}"
+    m = re.match(r"^feature_extraction\.branch([1-4])\.1\.([01])$", k)
+    if m:
+        sub = "Conv_0" if m.group(2) == "0" else "BatchNorm_0"
+        return f"feature_extraction.ConvBN_{int(m.group(1)) + 2}.{sub}"
+    m = re.match(r"^feature_extraction\.lastconv\.(0\.[01]|2)$", k)
+    if m:
+        sub = {"0.0": "ConvBN_7.Conv_0", "0.1": "ConvBN_7.BatchNorm_0",
+               "2": "Conv_0"}[m.group(1)]
+        return f"feature_extraction.{sub}"
+    m = re.match(r"^dres([01])\.([02])\.([01])$", k)
+    if m:
+        half = 0 if m.group(2) == "0" else 1
+        sub = "Conv_0" if m.group(3) == "0" else "BatchNorm_0"
+        return f"dres{m.group(1)}_{half}.{sub}"
+    m = re.match(r"^dres([234])\.conv([1-4])\.(?:0\.)?([01])$", k)
+    if m:
+        sub = "Conv_0" if m.group(3) == "0" else "BatchNorm_0"
+        return f"dres{m.group(1)}.ConvBN_{int(m.group(2)) - 1}.{sub}"
+    m = re.match(r"^dres([234])\.conv([56])\.([01])$", k)
+    if m:
+        j = int(m.group(2)) - 5
+        sub = f"ConvTranspose_{j}" if m.group(3) == "0" else f"BatchNorm_{j}"
+        return f"dres{m.group(1)}.{sub}"
+    m = re.match(r"^classif([123])\.(0\.[01]|2)$", k)
+    if m:
+        sub = {"0.0": f"classif{m.group(1)}_0.Conv_0",
+               "0.1": f"classif{m.group(1)}_0.BatchNorm_0",
+               "2": f"classif{m.group(1)}_1"}[m.group(1 + 1)]
+        return sub
+    return None
+
+
+def split_params_stats(tree: dict) -> tuple[dict, dict]:
+    """Split flax BatchNorm leaves: {scale, bias} stay in params,
+    {mean, var} go to batch_stats (regular, trainable BN — unlike
+    split_params_frozen's FrozenBatchNorm collection)."""
+    params, stats = {}, {}
+
+    def walk(node, p_out, s_out):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                p_sub, s_sub = {}, {}
+                walk(v, p_sub, s_sub)
+                if p_sub:
+                    p_out[k] = p_sub
+                if s_sub:
+                    s_out[k] = s_sub
+            elif k in ("mean", "var"):
+                s_out[k] = v
+            else:
+                p_out[k] = v
+
+    walk(tree, params, stats)
+    return params, stats
+
+
+def import_psmnet(path_or_sd) -> tuple[dict, dict]:
+    """Released PSMNet checkpoint (path or torch state-dict-like mapping of
+    numpy arrays) -> (params, batch_stats) variable trees for
+    models.psmnet.PSMNet. ConvTranspose3d kernels get the spatial flip +
+    layout transpose (see convert_tensor)."""
+    sd = (load_torch_state_dict(path_or_sd) if isinstance(path_or_sd, str)
+          else dict(path_or_sd))
+    out = {}
+    for k, arr in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        base, leaf_t = k.rsplit(".", 1)
+        nk = remap_psmnet_name(base)
+        if nk is None:
+            continue
+        is_tc = "ConvTranspose" in nk
+        leaf, conv = convert_tensor(f"x.{leaf_t}", np.asarray(arr),
+                                    transpose_conv=is_tc)
+        out[f"{nk}.{leaf}"] = conv
+    return split_params_stats(to_tree(out))
