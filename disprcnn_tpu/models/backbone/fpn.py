@@ -17,6 +17,27 @@ def _upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def _interp_matrix_half_pixel(n_in: int, n_out: int, dtype=jnp.float32):
+    """(n_out, n_in) linear-interp matrix, align_corners=False semantics."""
+    pos = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n_in / n_out) - 0.5
+    pos = jnp.clip(pos, 0.0, n_in - 1)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, max(n_in - 2, 0))
+    frac = pos - i0
+    rows = jnp.arange(n_out)
+    m = jnp.zeros((n_out, n_in), jnp.float32)
+    m = m.at[rows, i0].add(1.0 - frac).at[rows, jnp.minimum(i0 + 1, n_in - 1)].add(frac)
+    return m.astype(dtype)
+
+
+def _bilinear_resize_half_pixel(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """F.interpolate(mode='bilinear', align_corners=False) as two matrix
+    contractions (MXU work, not gathers)."""
+    mh = _interp_matrix_half_pixel(x.shape[1], out_hw[0], x.dtype)
+    mw = _interp_matrix_half_pixel(x.shape[2], out_hw[1], x.dtype)
+    x = jnp.einsum("bhwc,oh->bowc", x, mh)
+    return jnp.einsum("bhwc,ow->bhoc", x, mw)
+
+
 class FPN(nn.Module):
     out_channels: int = 256
     use_gn: bool = False
@@ -40,21 +61,25 @@ class FPN(nn.Module):
             if self.use_relu:
                 x = nn.relu(x)
             laterals.append(x)
-        # top-down pathway
-        merged = [laterals[-1]]
+        # Top-down pathway, matching THIS FORK's FPN exactly (fpn.py:52-68 —
+        # it deviates from upstream maskrcnn-benchmark in three ways, all
+        # verified by tests/test_backbone_reference_parity.py):
+        # 1. the top level P5 is emitted as the BARE 1x1 lateral (its 3x3
+        #    output conv is created but never applied),
+        # 2. upsampling is BILINEAR align_corners=False (not nearest),
+        # 3. the CONVOLVED result propagates to the next level down (not the
+        #    pre-conv lateral sum).
+        last = laterals[-1]
+        outs = [last]
         for i in range(n - 2, -1, -1):
-            up = _upsample_nearest_2x(merged[0])
-            # crop in case of odd input sizes
-            up = up[:, : laterals[i].shape[1], : laterals[i].shape[2], :]
-            merged.insert(0, laterals[i] + up)
-        outs = []
-        for i, m in enumerate(merged):
-            x = conv(self.out_channels, 3, f"output{i + 2}")(m)
+            lat = laterals[i]
+            up = _bilinear_resize_half_pixel(last, (lat.shape[1], lat.shape[2]))
+            last = conv(self.out_channels, 3, f"output{i + 2}")(lat + up)
             if self.use_gn:
-                x = nn.GroupNorm(num_groups=32, epsilon=1e-5)(x)
+                last = nn.GroupNorm(num_groups=32, epsilon=1e-5)(last)
             if self.use_relu:
-                x = nn.relu(x)
-            outs.append(x)
+                last = nn.relu(last)
+            outs.insert(0, last)
         if self.top_blocks == "maxpool":
             outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
         elif self.top_blocks == "p6p7":

@@ -38,7 +38,9 @@ class FrozenBatchNorm(nn.Module):
     """
 
     features: int
-    eps: float = 0.0  # reference FrozenBatchNorm2d applies no eps
+    eps: float = 1e-5  # the reference's FrozenBatchNorm2d subclasses
+    # nn.BatchNorm2d with its custom forward COMMENTED OUT (layers/
+    # batch_norm.py) — at eval it IS BatchNorm2d: running stats + eps 1e-5
 
     @nn.compact
     def __call__(self, x):
@@ -101,8 +103,14 @@ class Stem(nn.Module):
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         x = nn.relu(_norm(self.use_gn, self.out_channels)(x))
-        # 3x3 max-pool stride 2, pad 1
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        # 3x3 max-pool stride 2, padding=0 with CEIL_MODE (resnet.py:337 —
+        # this fork uses the Caffe-style stem pool, NOT torchvision's pad-1):
+        # trailing -inf pad up to ceil coverage reproduces ceil_mode exactly
+        h, w = x.shape[1], x.shape[2]
+        hi_h = max(0, -((h - 3) // -2) * 2 + 3 - h)
+        hi_w = max(0, -((w - 3) // -2) * 2 + 3 - w)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=[(0, hi_h), (0, hi_w)])
         return x
 
 

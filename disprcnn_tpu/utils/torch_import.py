@@ -74,6 +74,8 @@ def convert_state_dict(
     """Mechanical tensor conversion; keys keep their dotted module paths."""
     out = {}
     for k, arr in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue  # torch BN counter, no flax counterpart
         is_tc = any(t in k for t in transpose_conv_names)
         leaf, conv = convert_tensor(k, arr, transpose_conv=is_tc)
         base = k.rsplit(".", 1)[0] if "." in k else k
@@ -89,12 +91,17 @@ _RESNET_MAPS = [
     # stages: layerN.M.convK / bnK / downsample
     (re.compile(r"^(?:module\.)?backbone\.body\.layer(\d)\.(\d+)\.conv(\d)\."),
      lambda m: f"backbone.body.layer{m.group(1)}_{m.group(2)}.conv{m.group(3)}."),
+    # NOTE flax auto-numbering order: in a block WITH a downsample branch the
+    # downsample norm is created FIRST (FrozenBatchNorm_0) and bn1..bn3 map
+    # to _1.._3; plain blocks map bn1..bn3 to _0.._2 (verified end-to-end by
+    # tests/test_backbone_reference_parity.py)
     (re.compile(r"^(?:module\.)?backbone\.body\.layer(\d)\.(\d+)\.bn(\d)\."),
-     lambda m: f"backbone.body.layer{m.group(1)}_{m.group(2)}.FrozenBatchNorm_{int(m.group(3)) - 1}."),
+     lambda m: (f"backbone.body.layer{m.group(1)}_{m.group(2)}."
+                f"FrozenBatchNorm_{int(m.group(3)) - 1 + (1 if m.group(2) == '0' else 0)}.")),
     (re.compile(r"^(?:module\.)?backbone\.body\.layer(\d)\.(\d+)\.downsample\.0\."),
      lambda m: f"backbone.body.layer{m.group(1)}_{m.group(2)}.downsample_conv."),
     (re.compile(r"^(?:module\.)?backbone\.body\.layer(\d)\.(\d+)\.downsample\.1\."),
-     lambda m: f"backbone.body.layer{m.group(1)}_{m.group(2)}.FrozenBatchNorm_3."),
+     lambda m: f"backbone.body.layer{m.group(1)}_{m.group(2)}.FrozenBatchNorm_0."),
     # FPN
     (re.compile(r"^(?:module\.)?backbone\.fpn\.fpn_inner(\d)\."),
      lambda m: f"backbone.fpn.lateral{int(m.group(1)) + 1}."),

@@ -130,7 +130,8 @@ def test_c2_pickle_import(tmp_path):
     np.testing.assert_array_equal(stem["var"], np.ones(64))
     conv1 = params["backbone"]["body"]["stem"]["conv1"]["kernel"]
     assert conv1.shape == (7, 7, 3, 64)  # OIHW -> HWIO
-    ds = frozen["backbone"]["body"]["layer1_0"]["FrozenBatchNorm_3"]
+    # downsample norm is created FIRST in our Bottleneck -> _0
+    ds = frozen["backbone"]["body"]["layer1_0"]["FrozenBatchNorm_0"]
     np.testing.assert_array_equal(ds["scale"], blobs["res2_0_branch1_bn_s"])
 
     # catalog:// resolution contract

@@ -115,16 +115,22 @@ def _randomize_bn(bn, rng):
 
 
 def test_resnet_stem_frozen_bn_parity(rng):
-    """conv7x7/s2 + FrozenBN + relu + maxpool3x3/s2 (reference stem) vs torch."""
+    """conv7x7/s2 + BN(eval, eps 1e-5) + relu + CEIL-MODE maxpool3x3/s2.
+
+    This fork's stem differs from torchvision: the pool is
+    F.max_pool2d(k=3, s=2, padding=0, ceil_mode=True) (resnet.py:337) and
+    the norm is plain eval BatchNorm2d (the FrozenBatchNorm2d forward is
+    commented out in layers/batch_norm.py) — verified end to end by
+    tests/test_backbone_reference_parity.py."""
     from disprcnn_tpu.models.backbone.resnet import Stem
 
     torch.manual_seed(4)
     conv = torch.nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
-    bn = torch.nn.BatchNorm2d(64, eps=0.0).eval()
+    bn = torch.nn.BatchNorm2d(64).eval()
     _randomize_bn(bn, rng)
     x = torch.randn(2, 3, 64, 96)
     ref = torch.nn.functional.max_pool2d(
-        torch.relu(bn(conv(x))), 3, stride=2, padding=1
+        torch.relu(bn(conv(x))), 3, stride=2, padding=0, ceil_mode=True
     ).detach().numpy()
 
     _, kernel = convert_tensor("conv1.weight", conv.weight.detach().numpy())
