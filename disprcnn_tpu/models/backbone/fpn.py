@@ -1,7 +1,9 @@
 """Feature Pyramid Network (reference modeling/backbone/fpn.py:7-103).
 
-Lateral 1x1 convs + nearest-neighbour top-down upsampling + 3x3 output convs,
-plus LastLevelMaxPool producing P6. NHWC, dtype-parameterized.
+Lateral 1x1 convs + BILINEAR (align_corners=False) top-down upsampling +
+3x3 output convs, plus LastLevelMaxPool producing P6. This fork deviates
+from upstream maskrcnn-benchmark in three verified ways (see FPN.__call__).
+NHWC, dtype-parameterized.
 """
 from __future__ import annotations
 
@@ -9,12 +11,6 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
-
-
-def _upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
-    b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, h * 2, w * 2, c)
 
 
 def _interp_matrix_half_pixel(n_in: int, n_out: int, dtype=jnp.float32):
