@@ -39,6 +39,7 @@ class FPN(nn.Module):
     use_gn: bool = False
     use_relu: bool = False
     top_blocks: str = "maxpool"  # "maxpool" (P6) | "p6p7" (retinanet) | "none"
+    p6p7_use_c5: bool = True  # RETINANET.USE_C5 (default True): P6 from C5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -79,11 +80,14 @@ class FPN(nn.Module):
         if self.top_blocks == "maxpool":
             outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
         elif self.top_blocks == "p6p7":
-            # LastLevelP6P7 (reference fpn.py:84-103): stride-2 3x3 convs on P5
+            # LastLevelP6P7 (reference fpn.py:84-103): stride-2 3x3 convs;
+            # P6 consumes C5 when RETINANET.USE_C5 (the reference default),
+            # else P5 (backbone.py:54-58)
+            p6_in = features[-1] if self.p6p7_use_c5 else outs[-1]
             p6 = nn.Conv(
                 self.out_channels, (3, 3), strides=(2, 2),
                 padding=[(1, 1), (1, 1)], dtype=self.dtype, name="p6_s2",
-            )(outs[-1])
+            )(p6_in)
             p7 = nn.Conv(
                 self.out_channels, (3, 3), strides=(2, 2),
                 padding=[(1, 1), (1, 1)], dtype=self.dtype, name="p7_s2",
