@@ -29,6 +29,19 @@ from .matcher import balanced_sample, match
 
 
 class SRPNHead(nn.Module):
+    """KNOWN IMPORT CAVEAT (for released-checkpoint bit-parity, next round):
+    the reference head applies an IN-HEAD softmax over a (B, 2, A*H, W)
+    VIEW of the (B, A*2, H, W) logits (srpn.py:47) — pairing channels
+    (c, c+A), i.e. PLANAR class layout — while both its loss
+    (concat_box_prediction_layers) and its postprocessor then read the
+    softmaxed tensor INTERLEAVED as (anchor, 2), and the loss applies
+    cross_entropy on the already-softmaxed values (double softmax).
+    This implementation uses the clean equivalent (raw interleaved logits,
+    one softmax at the consumer), which is self-consistent for training
+    from scratch but NOT output-identical under transferred reference
+    weights. Replicating the quirk chain exactly is mechanical if released
+    checkpoints need bit-parity."""
+
     in_channels: int = 256
     num_anchors: int = 3
     dtype: Any = jnp.float32
