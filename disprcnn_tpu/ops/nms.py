@@ -319,9 +319,17 @@ def nms_topk_batched(
     iou = _pairwise_iou_batched(bo, bo, to_remove)
     keep = _greedy_keep_batched(iou, vo, iou_thresh)
     key = jnp.where(keep, -jnp.arange(n, dtype=jnp.float32)[None, :], _NEG)
-    val, pos = jax.lax.top_k(key, k)
+    # top_k traces only for k <= n; pad back out so the output stays (B, k)
+    # when post_nms_top_n exceeds the pre-NMS count (the pallas branch above
+    # already tolerates k > n).
+    kk = min(k, n)
+    val, pos = jax.lax.top_k(key, kk)
+    ok = val > _NEG / 2
+    if kk < k:
+        pos = jnp.pad(pos, ((0, 0), (0, k - kk)))
+        ok = jnp.pad(ok, ((0, 0), (0, k - kk)))
     return (pos if order is None
-            else jnp.take_along_axis(order, pos, axis=1)), val > _NEG / 2
+            else jnp.take_along_axis(order, pos, axis=1)), ok
 
 
 def double_view_nms_topk_batched(

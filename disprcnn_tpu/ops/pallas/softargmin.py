@@ -70,21 +70,26 @@ def fused_softargmin(
     b, h4, w4, d4 = c.shape
     h, w = out_hw
     d = maxdisp - mindisp
-    assert h % ROWS == 0, (h, ROWS)
     md = interp_matrix(d4, d)
     mh = interp_matrix(h4, h)
     mw = interp_matrix(w4, w)
     # D- and H-upsample at low W in XLA (cheap contractions)
     y = jnp.einsum("bhwd,ed->bhwe", c.astype(jnp.float32), md)
     y = jnp.einsum("bhwd,eh->bewd", y, mh)  # (B, H, w4, D)
-    return pl.pallas_call(
+    # grid rows come in ROWS-sized stripes: zero-pad H up and slice the
+    # extra rows back off (softargmin of a zero row is finite and discarded)
+    hp = -(-h // ROWS) * ROWS
+    if hp != h:
+        y = jnp.pad(y, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    out = pl.pallas_call(
         partial(_kernel, mindisp, d),
-        grid=(b, h // ROWS),
+        grid=(b, hp // ROWS),
         in_specs=[
             pl.BlockSpec((1, ROWS, w4, d), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((w, w4), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, ROWS, w), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w), jnp.float32),
         interpret=interpret,
     )(y, mw)
+    return out[:, :h] if hp != h else out

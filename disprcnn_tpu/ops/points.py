@@ -123,11 +123,13 @@ def first_k_true(mask: jnp.ndarray, k: int):
             jnp.arange(n, dtype=jnp.float32),
         ).astype(jnp.int32)  # 0 where no such entry
     else:
-        # count of positions with rank <= j; clamped bf16 rank (exact)
-        rankc = jnp.minimum(rank, k + 1).astype(jnp.bfloat16)
-        ks = jnp.arange(k, dtype=jnp.bfloat16)
+        # count of positions with rank <= j, in int32: the compare+count loop
+        # is compute-bound at the same rate regardless of dtype, and bf16 is
+        # only exact for integers <= 256 — it silently corrupted 128/512 slots
+        # at roipool3d's k=512 (sampled_pts_num) before this.
+        ks = jnp.arange(k, dtype=jnp.int32)
         idx = jnp.sum(
-            (rankc[:, None, :] <= ks[None, :, None]).astype(jnp.int32), axis=-1
+            (rank[:, None, :] <= ks[None, :, None]).astype(jnp.int32), axis=-1
         )
         idx = jnp.minimum(idx, n - 1)
     return idx, cnt

@@ -230,6 +230,32 @@ def test_roi_align_gather_matches_matrix(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(g), rtol=1e-5, atol=1e-5)
 
 
+def test_first_k_true_production_sizes(monkeypatch, rng):
+    """k=512 (roipool3d's sampled_pts_num) with >256 True entries per row,
+    both branches: regression for the bf16 count branch, which was only exact
+    for integers <= 256 and corrupted 128/512 slots at this size."""
+    import jax as _jax
+
+    import disprcnn_tpu.ops.points as pts_mod
+
+    k, n = 512, 768
+    mask = rng.uniform(size=(4, n)) < 0.8  # ~614 True/row, well past 256
+    mask[0] = False  # empty row
+    mask[1] = True  # fully dense row
+    jmask = jnp.asarray(mask)
+
+    for fake_tpu in (False, True):  # count branch (CPU) / einsum branch
+        if fake_tpu:
+            monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        idx, cnt = pts_mod.first_k_true(jmask, k)
+        idx, cnt = np.asarray(idx), np.asarray(cnt)
+        for r in range(mask.shape[0]):
+            want = np.nonzero(mask[r])[0]
+            wcnt = min(len(want), k)
+            assert cnt[r] == wcnt
+            np.testing.assert_array_equal(idx[r, :wcnt], want[:wcnt])
+
+
 def test_ball_query_einsum_branch_matches(monkeypatch, rng):
     """The MXU one-hot selection branch (TPU-only by default) must agree with
     the count branch and the oracle."""

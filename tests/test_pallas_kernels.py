@@ -117,3 +117,23 @@ def test_grad_through_pallas_nms_branch(monkeypatch):
     gb = jax.grad(loss_b)(boxes)
     assert gb.shape == boxes.shape and bool(jnp.any(gb != 0))
 
+
+
+def test_fused_softargmin_interpret_matches_xla(rng):
+    """fused_softargmin (Pallas, interpret mode) vs the XLA
+    upsample+softmax+expectation fallback in PSMNet.regress — including an
+    output height that is NOT a multiple of ROWS (pad-and-slice path)."""
+    from disprcnn_tpu.ops.pallas.softargmin import fused_softargmin, interp_matrix
+
+    mindisp, maxdisp = -8, 8
+    b, h4, w4, d4 = 2, 7, 9, 4
+    c = jnp.asarray(rng.normal(size=(b, h4, w4, d4)).astype(np.float32))
+    for h, w in ((24, 32), (27, 33)):  # 27 % 8 != 0
+        got = fused_softargmin(c, (h, w), mindisp, maxdisp, interpret=True)
+        d = maxdisp - mindisp
+        y = jnp.einsum("bhwd,ed->bhwe", c, interp_matrix(d4, d))
+        y = jnp.einsum("bhwd,eh->bewd", y, interp_matrix(h4, h))
+        y = jnp.einsum("bhwd,ew->bhed", y, interp_matrix(w4, w))
+        p = jax.nn.softmax(y, axis=-1)
+        want = jnp.einsum("bhwd,d->bhw", p, jnp.arange(mindisp, maxdisp, dtype=jnp.float32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
