@@ -137,7 +137,9 @@ def build_detection_model(cfg):
             maxdisp=cfg.MODEL.DISPNET.MAX_DISP,
             mindisp=cfg.MODEL.DISPNET.MIN_DISP,
             npoints=cfg.MODEL.POINTRCNN.RPN.NPOINTS,
-            mask_thresh_train=0.7,
+            # the reference thresholds BOTH paths by POINTRCNN.MASK_THRESH
+            # (point_rcnn.py:24 masker_threshold; eval Masker threshold ditto)
+            mask_thresh_train=cfg.MODEL.POINTRCNN.MASK_THRESH,
             mask_thresh_eval=cfg.MODEL.POINTRCNN.MASK_THRESH,
             mean_size=mean_size,
             det3d_on=cfg.MODEL.DET3D_ON,
@@ -156,6 +158,13 @@ def build_detection_model(cfg):
             rpn_nms_rotated=cfg.MODEL.POINTRCNN.RPN.NMS_TYPE == "rotate",
             rpn_distance_based=cfg.MODEL.POINTRCNN.TEST.RPN_DISTANCE_BASED_PROPOSE,
             rpn_nms_thresh=cfg.MODEL.POINTRCNN.TEST.RPN_NMS_THRESH,
+            # proposal budgets (reference proposal_layer.py:19-24 reads
+            # cfg[TRAIN|TEST].RPN_PRE/POST_NMS_TOP_N per mode)
+            rpn_pre_nms_per_roi=cfg.MODEL.POINTRCNN.TEST.RPN_PRE_NMS_TOP_N,
+            proposals_per_roi=cfg.MODEL.POINTRCNN.TEST.RPN_POST_NMS_TOP_N,
+            rpn_pre_nms_per_roi_train=cfg.MODEL.POINTRCNN.TRAIN.RPN_PRE_NMS_TOP_N,
+            proposals_per_roi_train=cfg.MODEL.POINTRCNN.TRAIN.RPN_POST_NMS_TOP_N,
+            rpn_nms_thresh_train=cfg.MODEL.POINTRCNN.TRAIN.RPN_NMS_THRESH,
             dtype=_dtype(cfg),
         )
     raise NotImplementedError(meta)

@@ -118,7 +118,11 @@ class DispRCNN3D(nn.Module):
     det3d_on: bool = True  # MODEL.DET3D_ON: run the PointRCNN stage at all
     rcnn_enabled: bool = True
     rpn_fixed: bool = False
-    proposals_per_roi: int = 16
+    proposals_per_roi: int = 16  # TEST.RPN_POST_NMS_TOP_N (build.py wires cfg)
+    rpn_pre_nms_per_roi: int = 128  # TEST.RPN_PRE_NMS_TOP_N
+    proposals_per_roi_train: Optional[int] = None  # TRAIN.RPN_POST_NMS_TOP_N
+    rpn_pre_nms_per_roi_train: Optional[int] = None  # TRAIN.RPN_PRE_NMS_TOP_N
+    rpn_nms_thresh_train: Optional[float] = None  # TRAIN.RPN_NMS_THRESH
     rcnn_rois_per_instance: int = 16
     sa_npoints: Tuple[int, ...] = (768, 512, 256, 64)  # rpn.yaml:15 SA_CONFIG
     rpn_loss_cls: str = "BinaryCrossEntropy"
@@ -253,6 +257,10 @@ class DispRCNN3D(nn.Module):
         prcnn = PointRCNN(
             npoints=self.npoints, mean_size=self.mean_size,
             rcnn_enabled=self.rcnn_enabled, proposals_per_roi=self.proposals_per_roi,
+            rpn_pre_nms_per_roi=self.rpn_pre_nms_per_roi,
+            proposals_per_roi_train=self.proposals_per_roi_train,
+            rpn_pre_nms_per_roi_train=self.rpn_pre_nms_per_roi_train,
+            rpn_nms_thresh_train=self.rpn_nms_thresh_train,
             rcnn_rois_per_instance=self.rcnn_rois_per_instance,
             sa_npoints=self.sa_npoints, rpn_loss_cls=self.rpn_loss_cls,
             rcnn_loss_cls=self.rcnn_loss_cls,

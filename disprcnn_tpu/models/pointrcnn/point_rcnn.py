@@ -25,13 +25,17 @@ class PointRCNN(nn.Module):
     rpn_use_bn: bool = True
     rpn_loss_cls: str = "BinaryCrossEntropy"
     rpn_score_thresh: float = 0.3
-    proposals_per_roi: int = 16
-    rpn_pre_nms_per_roi: int = 128  # score cap before rotated NMS (reference
-    # uses RPN_PRE_NMS_TOP_N // num_rois, typically > npoints; capping bounds
-    # the rotated-IoU matrix — each instance cloud holds ONE object, so the
-    # top-128 of 768 candidate centers is a generous recall margin at 1/4 the
-    # pairwise-IoU cost of 256)
+    proposals_per_roi: int = 16  # TEST.RPN_POST_NMS_TOP_N (reference 64-100;
+    # the per-instance cloud holds one object, so smaller budgets trade a
+    # little recall for RCNN pooling cost — build.py wires the cfg value)
+    rpn_pre_nms_per_roi: int = 128  # TEST.RPN_PRE_NMS_TOP_N score cap before
+    # rotated NMS (bounds the rotated-IoU matrix; clamped to npoints)
     rpn_nms_thresh: float = 0.8
+    # train-time proposal budgets (TRAIN.RPN_PRE/POST_NMS_TOP_N / NMS_THRESH,
+    # reference proposal_layer.py:19-24); None -> same as eval
+    proposals_per_roi_train: Optional[int] = None
+    rpn_pre_nms_per_roi_train: Optional[int] = None
+    rpn_nms_thresh_train: Optional[float] = None
     rpn_nms_rotated: bool = False  # RPN.NMS_TYPE 'normal' (default) / 'rotate'
     rpn_distance_based: bool = False  # TEST.RPN_DISTANCE_BASED_PROPOSE
     rcnn_enabled: bool = True
@@ -86,11 +90,18 @@ class PointRCNN(nn.Module):
 
         # proposals in the canonical frame, then rotate back to rect frame
         propose_fn = rpn3d.distance_propose if self.rpn_distance_based else rpn3d.propose
+        pre_n = self.rpn_pre_nms_per_roi
+        post_n = self.proposals_per_roi
+        nms_th = self.rpn_nms_thresh
+        if train:  # TRAIN.RPN_* budgets (proposal_layer.py:19-24)
+            pre_n = self.rpn_pre_nms_per_roi_train or pre_n
+            post_n = self.proposals_per_roi_train or post_n
+            nms_th = self.rpn_nms_thresh_train or nms_th
         rois_c, roi_scores, prop_valid = propose_fn(
             rpn_out["cls"], rpn_out["reg"], rpn_out["xyz"], anchor, self.rpn_codec,
-            pre_nms_top_n=min(self.rpn_pre_nms_per_roi, pts.shape[1]),
-            post_nms_top_n=self.proposals_per_roi,
-            nms_thresh=self.rpn_nms_thresh,
+            pre_nms_top_n=min(pre_n, pts.shape[1]),
+            post_nms_top_n=post_n,
+            nms_thresh=nms_th,
             rotated=self.rpn_nms_rotated,
         )
         r, m = rois_c.shape[0], rois_c.shape[1]

@@ -121,3 +121,4 @@ def test_canonical_gt_zero_for_identical():
     out = np.asarray(rcnn3d.canonical_gt(rois, rois))[0, 0]
     np.testing.assert_allclose(out[:3], 0.0, atol=1e-6)
     assert abs(out[6]) < 1e-6
+
