@@ -83,10 +83,26 @@ def make_train_step(
             )(state.params, None)
             guncert = None
 
+        # Per-step non-finite guard (reference ALLOW_EXCEPTION skips the
+        # whole iteration, engine/trainer.py:116-123): if the loss or any
+        # gradient is non-finite, apply NOTHING — params, optimizer state,
+        # BN stats and uncert all keep their previous values; only `step`
+        # advances. The skip is surfaced in metrics['skipped_nonfinite'].
+        finite = jnp.isfinite(loss)
+        for g in jax.tree.leaves(gparams):
+            finite = finite & jnp.all(jnp.isfinite(g))
+        if guncert is not None:
+            finite = finite & jnp.all(jnp.isfinite(guncert))
+
         if do_grad_clip:
             gnorm = optax.global_norm(gparams)
             scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-6))
             gparams = jax.tree.map(lambda g: g * scale, gparams)
+        # zero the grads when skipping so tx.update math stays NaN-free
+        # (where() alone would still let inf*0 poison momentum buffers)
+        gparams = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), gparams
+        )
 
         updates, new_opt = tx.update(gparams, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -96,20 +112,29 @@ def make_train_step(
             # optimizer param groups (solver/build.py:10-35): same optimizer,
             # same LR/momentum schedule
             utx = uncert_tx if uncert_tx is not None else optax.sgd(1e-3)
+            guncert = jnp.where(finite, guncert, jnp.zeros_like(guncert))
             uupd, new_uopt = utx.update(guncert, state.uncert_opt_state, state.uncert)
             new_uncert = optax.apply_updates(state.uncert, uupd)
 
+        keep = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new, old
+        )
         new_state = state.replace(
             step=state.step + 1,
-            params=new_params,
+            params=keep(new_params, state.params),
             # guard: an empty mutated collection (e.g. BN in eval mode under
             # mutable=['batch_stats']) must not clobber the real stats
-            batch_stats=new_bn if new_bn else state.batch_stats,
-            opt_state=new_opt,
-            uncert=new_uncert,
-            uncert_opt_state=new_uopt,
+            batch_stats=keep(new_bn, state.batch_stats) if new_bn else state.batch_stats,
+            opt_state=keep(new_opt, state.opt_state),
+            uncert=keep(new_uncert, state.uncert) if new_uncert is not None else None,
+            uncert_opt_state=keep(new_uopt, state.uncert_opt_state)
+            if new_uopt is not None else None,
         )
-        metrics = {"loss_total": loss, **losses}
+        metrics = {
+            "loss_total": loss,
+            **losses,
+            "skipped_nonfinite": (~finite).astype(jnp.float32),
+        }
         return new_state, metrics
 
     return step

@@ -167,3 +167,41 @@ def test_loader_aspect_grouping():
     # one contiguous run per group
     flips = sum(1 for a, b in zip(groups, groups[1:]) if a != b)
     assert flips == 1
+
+
+def test_train_step_skips_nonfinite_update():
+    """A NaN loss must leave params/opt-state untouched and raise the
+    skipped_nonfinite counter (reference ALLOW_EXCEPTION skips the iteration,
+    engine/trainer.py:116-123)."""
+    import flax.linen as nn
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, y=None, poison=None, train=False):
+            w = self.param("w", nn.initializers.zeros, (4,))
+            return {"loss_fit": jnp.sum((w - y) ** 2) + poison}
+
+    model = Toy()
+    y = jnp.asarray([1.0, -2.0, 3.0, 0.5])
+    variables = model.init(jax.random.PRNGKey(0), y=y, poison=jnp.asarray(0.0))
+    tx = optax.sgd(0.1, momentum=0.9)
+    state = create_train_state(model, tx, variables)
+    step = jax.jit(make_train_step(model, tx))
+
+    # one clean step so momentum is non-trivial
+    state, m = step(state, {"y": y, "poison": jnp.asarray(0.0)}, jax.random.PRNGKey(0))
+    assert float(m["skipped_nonfinite"]) == 0.0
+    w_before = np.asarray(state.params["w"])
+    mom_before = np.asarray(jax.tree.leaves(state.opt_state)[0])
+
+    state, m = step(state, {"y": y, "poison": jnp.asarray(jnp.nan)}, jax.random.PRNGKey(0))
+    assert float(m["skipped_nonfinite"]) == 1.0
+    assert not np.isfinite(float(m["loss_total"]))  # still reported to the host log
+    np.testing.assert_array_equal(np.asarray(state.params["w"]), w_before)
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state.opt_state)[0]), mom_before)
+    assert int(state.step) == 2  # the iteration itself still advances
+
+    # and a following clean step trains normally again
+    state, m = step(state, {"y": y, "poison": jnp.asarray(0.0)}, jax.random.PRNGKey(0))
+    assert float(m["skipped_nonfinite"]) == 0.0
+    assert not np.array_equal(np.asarray(state.params["w"]), w_before)
