@@ -154,12 +154,23 @@ class KittiStereoDataset:
         return np.asarray(im, np.float32) / 255.0
 
     def _load_disparity(self, imgid: str, shape) -> np.ndarray:
-        path = self._path(f"disparity_{self.shape_prior_base}", imgid, ".png")
-        if self.shape_prior_base and os.path.exists(path):
-            from PIL import Image
+        # reference layout first (kitti_car.py:290-305:
+        # object/<split>/<base>/disparity_2/<id>.png, 16-bit / 256)
+        candidates = []
+        if self.shape_prior_base:
+            candidates.append(os.path.join(
+                self.root, "object", self.split_dir, self.shape_prior_base,
+                "disparity_2", f"{imgid}.png",
+            ))
+            candidates.append(
+                self._path(f"disparity_{self.shape_prior_base}", imgid, ".png")
+            )
+        for path in candidates:
+            if os.path.exists(path):
+                from PIL import Image
 
-            arr = np.asarray(Image.open(path), np.float32)
-            return arr / 256.0
+                arr = np.asarray(Image.open(path), np.float32)
+                return arr / 256.0
         return np.zeros(shape, np.float32)
 
     def _load_offline(self, imgid: str) -> Optional[dict]:
@@ -223,12 +234,28 @@ class KittiStereoDataset:
         return out
 
     def _load_masks(self, imgid: str, n: int, shape) -> np.ndarray:
-        """Instance masks from the pseudo-GT dump (pickle fallback for zarr)."""
-        path = self._path(f"mask_2_{self.shape_prior_base}", imgid, ".pkl")
-        if self.shape_prior_base and os.path.exists(path):
-            with open(path, "rb") as f:
-                m = pickle.load(f)
-            return np.asarray(m, np.float32)
+        """Instance masks from the pseudo-GT dump.
+
+        Primary source is the reference's on-disk layout
+        (kitti_car.py:275-288): ``object/<split>/<base>/mask_2/<id>.zarr``
+        read with the in-repo zarr-v2 reader (zarr isn't installed); a
+        per-image pickle at the legacy ``mask_2_<base>/<id>.pkl`` location
+        stays as fallback; absent both -> zeros.
+        """
+        if self.shape_prior_base:
+            zpath = os.path.join(
+                self.root, "object", self.split_dir, self.shape_prior_base,
+                "mask_2", f"{imgid}.zarr",
+            )
+            if os.path.exists(zpath):
+                from ..zarr_io import load_zarr
+
+                return (load_zarr(zpath) != 0).astype(np.float32)
+            path = self._path(f"mask_2_{self.shape_prior_base}", imgid, ".pkl")
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    m = pickle.load(f)
+                return np.asarray(m, np.float32)
         return np.zeros((n,) + tuple(shape), np.float32)
 
     # -- sample assembly ---------------------------------------------------
