@@ -42,24 +42,59 @@ def compute_on_dataset(
 def merge_predictions_across_hosts(local: Dict[str, dict]) -> Dict[str, dict]:
     """Merge per-host prediction shards into the full dict on every host
     (reference engine/inference.py:253-272 pickle all_gather, rebuilt as
-    fixed-shape array gathers: per-image dicts are stacked per key, gathered
-    with process_allgather, and re-keyed by the gathered integer ids)."""
+    fixed-shape array gathers).
+
+    Hosts may hold UNEQUAL shard sizes: a first scalar gather agrees on the
+    global max rows / id width, every host zero-pads its stack to that shape
+    (pad rows carried in a ``_valid`` mask and dropped after the gather), and
+    image ids travel as fixed-width utf-8 byte codes — arbitrary string ids
+    round-trip, not just zero-padded integers. Duplicate ids (shard padding
+    repeats samples) collapse on re-keying, matching the reference's
+    dict-update merge.
+    """
     import jax
 
     from ..parallel.multihost import all_gather_predictions
 
-    if jax.process_count() == 1 or not local:
+    if jax.process_count() == 1:
         return local
+    if not local:
+        raise ValueError(
+            "merge_predictions_across_hosts: this host holds 0 predictions "
+            "(every host must evaluate >= 1 image; the loader pads shards)"
+        )
     ids = sorted(local.keys())
     keys = sorted(local[ids[0]].keys())
-    stacked = {k: np.stack([local[i][k] for i in ids]) for k in keys}
-    # imgids travel as integers (KITTI ids are numeric strings)
-    width = max(len(i) for i in ids)
-    stacked["_imgid"] = np.asarray([int(i) for i in ids], np.int64)
+    n = len(ids)
+    width = max(len(i.encode("utf-8")) for i in ids)
+    dims = all_gather_predictions(
+        {"_dims": np.asarray([[n, width]], np.int64)}
+    )["_dims"]
+    nmax, wmax = int(dims[:, 0].max()), int(dims[:, 1].max())
+
+    def pad_rows(a: np.ndarray) -> np.ndarray:
+        if n == nmax:
+            return a
+        return np.concatenate(
+            [a, np.zeros((nmax - n,) + a.shape[1:], a.dtype)]
+        )
+
+    stacked = {
+        k: pad_rows(np.stack([np.asarray(local[i][k]) for i in ids]))
+        for k in keys
+    }
+    codes = np.zeros((nmax, wmax), np.uint8)
+    for r, i in enumerate(ids):
+        b = i.encode("utf-8")
+        codes[r, : len(b)] = np.frombuffer(b, np.uint8)
+    stacked["_imgid"] = codes
+    stacked["_valid"] = np.arange(nmax) < n
     merged = all_gather_predictions(stacked)
     out = {}
-    for row, iid in enumerate(merged["_imgid"]):
-        imgid = str(int(iid)).zfill(width)
+    for row in range(merged["_valid"].shape[0]):
+        if not merged["_valid"][row]:
+            continue
+        imgid = bytes(merged["_imgid"][row]).rstrip(b"\x00").decode("utf-8")
         out[imgid] = {k: merged[k][row] for k in keys}
     return out
 

@@ -102,20 +102,21 @@ def test_train_step_descends_on_toy_model():
 
 def test_merge_predictions_across_hosts_rekey(monkeypatch):
     """merge_predictions_across_hosts stacks per-image dicts, gathers, and
-    re-keys by the gathered integer ids (engine/inference.py; reference
+    re-keys by the gathered byte-coded ids (engine/inference.py; reference
     pickle-all_gather semantics at engine/inference.py:253-272). The
-    collective is simulated: two hosts' shards concatenated in process order."""
+    collective is simulated: two hosts' shards concatenated in process order,
+    with UNEQUAL shard sizes (other host holds 1 image, padded to 2) and a
+    non-numeric image id."""
     import numpy as np
 
     from disprcnn_tpu.engine import inference as inf
 
     local0 = {
         "000001": {"box": np.full((2, 4), 1.0), "score": np.asarray([0.9, 0.1])},
-        "000003": {"box": np.full((2, 4), 3.0), "score": np.asarray([0.8, 0.2])},
+        "seq_0003": {"box": np.full((2, 4), 3.0), "score": np.asarray([0.8, 0.2])},
     }
     other = {
         "000002": {"box": np.full((2, 4), 2.0), "score": np.asarray([0.7, 0.3])},
-        "000004": {"box": np.full((2, 4), 4.0), "score": np.asarray([0.6, 0.4])},
     }
 
     import jax as _jax
@@ -123,19 +124,32 @@ def test_merge_predictions_across_hosts_rekey(monkeypatch):
     monkeypatch.setattr(_jax, "process_count", lambda: 2)
 
     def fake_allgather(stacked):
+        if "_dims" in stacked:  # the max-shape agreement round
+            return {"_dims": np.concatenate(
+                [stacked["_dims"], np.asarray([[1, 6]], np.int64)]
+            )}
+        nmax, wmax = stacked["_valid"].shape[0], stacked["_imgid"].shape[1]
         oids = sorted(other.keys())
-        okeys = [k for k in stacked if k != "_imgid"]
-        ostacked = {k: np.stack([other[i][k] for i in oids]) for k in okeys}
-        ostacked["_imgid"] = np.asarray([int(i) for i in oids], np.int64)
+        okeys = [k for k in stacked if not k.startswith("_")]
+        ostacked = {}
+        for k in okeys:
+            a = np.stack([other[i][k] for i in oids])
+            pad = np.zeros((nmax - len(oids),) + a.shape[1:], a.dtype)
+            ostacked[k] = np.concatenate([a, pad])
+        codes = np.zeros((nmax, wmax), np.uint8)
+        for r, i in enumerate(oids):
+            codes[r, : len(i)] = np.frombuffer(i.encode(), np.uint8)
+        ostacked["_imgid"] = codes
+        ostacked["_valid"] = np.arange(nmax) < len(oids)
         return {k: np.concatenate([stacked[k], ostacked[k]]) for k in stacked}
 
     import disprcnn_tpu.parallel.multihost as mh
 
     monkeypatch.setattr(mh, "all_gather_predictions", fake_allgather)
     merged = inf.merge_predictions_across_hosts(local0)
-    assert sorted(merged.keys()) == ["000001", "000002", "000003", "000004"]
+    assert sorted(merged.keys()) == ["000001", "000002", "seq_0003"]
     np.testing.assert_array_equal(merged["000002"]["box"], np.full((2, 4), 2.0))
-    np.testing.assert_array_equal(merged["000004"]["score"], np.asarray([0.6, 0.4]))
+    np.testing.assert_array_equal(merged["seq_0003"]["score"], np.asarray([0.8, 0.2]))
 
 
 def test_loader_aspect_grouping():
