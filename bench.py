@@ -25,6 +25,17 @@ import numpy as np
 
 BASELINE_PAIRS_PER_SEC_PER_GPU = 3769 / 120.0 / 8.0  # ~3.93
 
+# peak dense bf16 FLOP/s per chip by device_kind (public TPU specs)
+_PEAK_BF16_FLOPS = {
+    "tpu v4": 275e12,
+    "tpu v5 lite": 197e12,
+    "tpu v5e": 197e12,
+    "tpu v5p": 459e12,
+    "tpu v5": 459e12,
+    "tpu v6e": 918e12,
+    "tpu v6 lite": 918e12,
+}
+
 
 def main(pairs: int = 1):
     import jax
@@ -114,6 +125,17 @@ def main(pairs: int = 1):
         out = pipeline(v2d, v3d, left, right, left_raw, right_raw)
         return sum(jnp.sum(o).astype(jnp.float32) for o in out)
 
+    lowered = pipeline_scalar.lower(v2d, v3d, left, left, left_raw, left_raw)
+    compiled = lowered.compile()
+    # XLA's own cost model: HLO flops actually scheduled per step (includes
+    # padding waste — the honest numerator for utilization accounting).
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_step = float(ca.get("flops", 0.0))
+    except Exception:
+        flops_per_step = 0.0
+
     float(pipeline_scalar(v2d, v3d, left, left, left_raw, left_raw))  # compile + warm
 
     n_iter = 20
@@ -124,6 +146,12 @@ def main(pairs: int = 1):
     dt = time.perf_counter() - t0
     pairs_per_sec = n_iter * p / dt
 
+    # MFU vs the chip's peak bf16 matmul throughput (dense-compute ceiling)
+    kind = getattr(dev, "device_kind", "unknown")
+    peak = _PEAK_BF16_FLOPS.get(kind.lower(), 0.0)
+    steps_per_sec = n_iter / dt
+    mfu = flops_per_step * steps_per_sec / peak if peak and flops_per_step else None
+
     print(
         json.dumps(
             {
@@ -131,6 +159,10 @@ def main(pairs: int = 1):
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/s/chip",
                 "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC_PER_GPU, 3),
+                "pairs_per_step": p,
+                "flops_per_pair": round(flops_per_step / max(p, 1)),
+                "mfu": round(mfu, 4) if mfu is not None else None,
+                "device": kind,
             }
         )
     )

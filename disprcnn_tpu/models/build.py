@@ -120,6 +120,7 @@ def build_detection_model(cfg):
             dispnet_loss_weight=cfg.MODEL.DISPNET.LOSS_WEIGHT,
             use_gn=cfg.MODEL.BACKBONE.USE_GN,
             use_gn_fpn=cfg.MODEL.FPN.USE_GN,
+            srpn_quirk_exact=cfg.TPU.SRPN_QUIRK_EXACT,
             dtype=_dtype(cfg),
         )
     if meta == "DispRCNN3D":

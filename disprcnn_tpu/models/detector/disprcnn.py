@@ -78,6 +78,10 @@ class DispRCNN(nn.Module):
     # backbone norm (MODEL.BACKBONE.USE_GN / MODEL.FPN.USE_GN)
     use_gn: bool = False
     use_gn_fpn: bool = False
+    # TPU.SRPN_QUIRK_EXACT: replicate the reference SRPN planar-softmax /
+    # interleaved-read / double-softmax chain (required for bit-parity with
+    # released 2D checkpoints; see stereo_rpn.SRPNHead docstring)
+    srpn_quirk_exact: bool = False
     # dtype policy
     dtype: Any = jnp.float32
 
@@ -116,6 +120,7 @@ class DispRCNN(nn.Module):
         head_outs = stereo_rpn.SRPNHead(
             in_channels=self.out_channels,
             num_anchors=gen.num_anchors_per_location,
+            quirk_exact=self.srpn_quirk_exact,
             dtype=self.dtype,
             name="rpn_head",
         )(lf, rf, both_feats=feats)
@@ -127,6 +132,7 @@ class DispRCNN(nn.Module):
         proposals = stereo_rpn.postprocess_batched(
             anchors, obj_logits, deltas, (img_h, img_w), pre_nms, post_nms,
             self.rpn_nms_thresh, self.rpn_min_size,
+            scores_are_probs=self.srpn_quirk_exact,
         )  # StereoBoxes with leading batch axis
 
         if train:

@@ -29,21 +29,31 @@ from .matcher import balanced_sample, match
 
 
 class SRPNHead(nn.Module):
-    """KNOWN IMPORT CAVEAT (for released-checkpoint bit-parity, next round):
-    the reference head applies an IN-HEAD softmax over a (B, 2, A*H, W)
+    """Shared-conv stereo RPN head (reference srpn.py:14-51).
+
+    The reference has a quirk chain: an IN-HEAD softmax over a (B, 2, A*H, W)
     VIEW of the (B, A*2, H, W) logits (srpn.py:47) — pairing channels
     (c, c+A), i.e. PLANAR class layout — while both its loss
     (concat_box_prediction_layers) and its postprocessor then read the
     softmaxed tensor INTERLEAVED as (anchor, 2), and the loss applies
     cross_entropy on the already-softmaxed values (double softmax).
-    This implementation uses the clean equivalent (raw interleaved logits,
-    one softmax at the consumer), which is self-consistent for training
-    from scratch but NOT output-identical under transferred reference
-    weights. Replicating the quirk chain exactly is mechanical if released
-    checkpoints need bit-parity."""
+    Default mode here is the clean equivalent (raw interleaved logits, one
+    softmax at the consumer) — self-consistent for training from scratch;
+    `quirk_exact=True` (cfg TPU.SRPN_QUIRK_EXACT) reproduces the reference
+    chain verbatim for released-checkpoint bit-parity (parity-tested against
+    the vendored torch source in tests/test_srpn_quirk_parity.py)."""
 
     in_channels: int = 256
     num_anchors: int = 3
+    # QUIRK-EXACT mode (released-checkpoint bit-parity): reproduce the
+    # reference chain verbatim — in-head softmax over the PLANAR (2, A)
+    # channel view (srpn.py:47, pairing channel c with c+A), output then read
+    # INTERLEAVED by loss/postproc. The emitted (..., A, 2) values are
+    # probabilities-misread-as-logits: the loss's log_softmax on them IS the
+    # reference's double softmax, and the postprocessor must rank by
+    # values[..., 1] directly (scores_are_probs=True), like the reference's
+    # commented-out sigmoid (inference.py:84-85).
+    quirk_exact: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -67,6 +77,19 @@ class SRPNHead(nn.Module):
         )
         cls = nn.Conv(self.num_anchors * 2, (1, 1), dtype=self.dtype, name="cls_logits")
         box = nn.Conv(self.num_anchors * 6, (1, 1), dtype=self.dtype, name="bbox_pred")
+        def read_cls(raw):
+            """(B, H, W, 2A) channel vector -> (B, H, W, A, 2).
+
+            Clean mode: interleaved reshape (channel 2a+cls = anchor a).
+            Quirk mode: planar-pair softmax first (channel c with c+A,
+            srpn.py:47), THEN the interleaved read — reference verbatim."""
+            b, h, w, _ = raw.shape
+            a = self.num_anchors
+            if self.quirk_exact:
+                planar = raw.reshape(b, h, w, 2, a)
+                raw = jax.nn.softmax(planar, axis=-2).reshape(b, h, w, 2 * a)
+            return raw.reshape(b, h, w, a, 2)
+
         outs = []
         if both_feats is not None:
             for f2 in both_feats:
@@ -74,7 +97,7 @@ class SRPNHead(nn.Module):
                 t2 = nn.relu(conv(f2))
                 t = jnp.concatenate([t2[: b2 // 2], t2[b2 // 2 :]], axis=-1)
                 b, h, w, _ = t.shape
-                logits = cls(t).reshape(b, h, w, self.num_anchors, 2)
+                logits = read_cls(cls(t))
                 deltas = box(t).reshape(b, h, w, self.num_anchors, 6)
                 outs.append((logits, deltas))
             return outs
@@ -83,7 +106,7 @@ class SRPNHead(nn.Module):
             rt = nn.relu(conv(rf))
             t = jnp.concatenate([lt, rt], axis=-1)
             b, h, w, _ = t.shape
-            logits = cls(t).reshape(b, h, w, self.num_anchors, 2)
+            logits = read_cls(cls(t))
             deltas = box(t).reshape(b, h, w, self.num_anchors, 6)
             outs.append((logits, deltas))
         return outs
@@ -110,9 +133,10 @@ def postprocess(
     post_nms_top_n: int,
     nms_thresh: float,
     min_size: float,
+    scores_are_probs: bool = False,  # quirk-exact head: rank raw [..., 1]
 ) -> StereoBoxes:
     """Single-image SRPN proposal selection -> StereoBoxes(post_nms_top_n)."""
-    scores = jax.nn.softmax(obj_logits, axis=-1)[:, 1]
+    scores = obj_logits[:, 1] if scores_are_probs else jax.nn.softmax(obj_logits, axis=-1)[:, 1]
     k = min(pre_nms_top_n, anchors.shape[0])
     top_scores, top_idx = jax.lax.top_k(scores, k)
     box6 = box_coder.decode6(deltas[top_idx], anchors[top_idx])
@@ -147,6 +171,7 @@ def postprocess_batched(
     post_nms_top_n: int,
     nms_thresh: float,
     min_size: float,
+    scores_are_probs: bool = False,  # quirk-exact head: rank raw [..., 1]
 ) -> StereoBoxes:
     """Natively-batched `postprocess` (identical per-image outputs).
 
@@ -154,7 +179,8 @@ def postprocess_batched(
     batched gathers that run ~5x slower on TPU (13.9 -> 2.7 ms at N=6000);
     this spells them as take_along_axis and uses the batched NMS."""
     bsz = obj_logits.shape[0]
-    scores = jax.nn.softmax(obj_logits, axis=-1)[..., 1]  # (B, N)
+    scores = (obj_logits[..., 1] if scores_are_probs
+              else jax.nn.softmax(obj_logits, axis=-1)[..., 1])  # (B, N)
     k = min(pre_nms_top_n, anchors.shape[0])
     top_scores, top_idx = jax.lax.top_k(scores, k)  # (B, k)
     d = jnp.take_along_axis(deltas, top_idx[..., None], axis=1)
