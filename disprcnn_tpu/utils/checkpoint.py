@@ -89,14 +89,26 @@ def load_stage_weights(variables: dict, weight: str) -> dict:
     URL name (resolved to the local weight cache); parameters are merged
     into `variables` by fuzzy suffix alignment."""
     weight = resolve_weight(weight)
+    src_stats: dict = {}
     if weight.endswith(".pkl"):
         from .torch_import import import_c2_backbone
 
         src_params, src_frozen = import_c2_backbone(weight)
     elif weight.endswith((".pth", ".tar")):
-        from .torch_import import import_disprcnn2d
+        from . import torch_import as ti
 
-        src_params, src_frozen = import_disprcnn2d(weight)
+        # sniff which of the four released layouts this is
+        # (model_serialization.py:10-80 lineage; docs/TRAIN_VAL.md artifacts)
+        sd = ti.load_torch_state_dict(weight)
+        src_frozen = {}
+        if any(k.startswith(("dispnet.", "pcnet.")) for k in sd):
+            src_params, src_stats = ti.import_disprcnn3d(sd)  # full 3D stage
+        elif any("backbone_net" in k for k in sd):
+            src_params, src_stats = ti.import_pointrcnn(sd)  # pointrcnn.pth
+        elif any(k.startswith("feature_extraction") for k in sd):
+            src_params, src_stats = ti.import_psmnet(sd)  # iDispNet bestmodel
+        else:
+            src_params, src_frozen = ti.import_disprcnn2d(weight)  # 2D mrcnn
     else:
         mngr = ocp.CheckpointManager(os.path.abspath(weight))
         step = mngr.latest_step()
@@ -105,6 +117,7 @@ def load_stage_weights(variables: dict, weight: str) -> dict:
         raw = mngr.restore(step)
         src_params = raw.get("params", {})
         src_frozen = raw.get("frozen", {})
+        src_stats = raw.get("batch_stats", {})
 
     out = dict(variables)
     params, unmatched = align_and_update_params(variables["params"], src_params)
@@ -112,6 +125,9 @@ def load_stage_weights(variables: dict, weight: str) -> dict:
     if src_frozen and variables.get("frozen"):
         frozen, _ = align_and_update_params(variables["frozen"], src_frozen)
         out["frozen"] = frozen
+    if src_stats and variables.get("batch_stats"):
+        stats, _ = align_and_update_params(variables["batch_stats"], src_stats)
+        out["batch_stats"] = stats
     if unmatched:
         import logging
 

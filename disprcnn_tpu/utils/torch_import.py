@@ -376,3 +376,114 @@ def import_psmnet(path_or_sd) -> tuple[dict, dict]:
                                     transpose_conv=is_tc)
         out[f"{nk}.{leaf}"] = conv
     return split_params_stats(to_tree(out))
+
+
+# -- released PointRCNN (.pth) import ---------------------------------------
+# Reference artifact: models/kitti/<cls>/<base>/rcnn/pointrcnn.pth —
+# torch.load(...)['model'] with DDP 'module.' prefixes, loaded into
+# lib/net/point_rcnn.PointRCNN (disprcnn3d.py:35-42). Torch module paths:
+#   rpn.backbone_net.SA_modules.{k}.mlps.{i}.layer{j}.{conv|bn.bn}
+#   rpn.backbone_net.FP_modules.{k}.mlp.layer{j}.{conv|bn.bn}
+#   rpn.rpn_cls_layer.{s}.{conv|bn.bn}   (Dropout inserted at index 1)
+#   rcnn_net.{xyz_up_layer|merge_down_layer}.layer{j}.{conv|bn.bn}
+#   rcnn_net.SA_modules.{k}.mlps.0.layer{j}.{conv|bn.bn}
+#   rcnn_net.{cls|reg}_layer.{s}.{conv|bn.bn}
+# All convs are 1x1 Conv1d/Conv2d (pt_utils) == our nn.Dense; BN wrappers
+# nest twice ('bn.bn', pytorch_utils.py:83,108).
+
+
+def _head_idx(s: int, n_fc: int) -> str:
+    """pt_utils head Sequential index -> fc{i}/out (Dropout at torch idx 1)."""
+    if s == 0:
+        return "fc0"
+    i = s - 1  # positions after the inserted Dropout shift by one
+    return f"fc{i}" if i < n_fc else "out"
+
+
+def remap_pointrcnn_name(k: str, n_cls_fc: int = 1, n_reg_fc: int = 1):
+    """torch PointRCNN key (module path, leaf stripped) -> flax path or None."""
+    k = re.sub(r"^(module\.|pcnet\.)*", "", k)
+    m = re.match(r"^rpn\.backbone_net\.SA_modules\.(\d+)\.mlps\.(\d+)\.layer(\d+)\.(conv|bn\.bn)$", k)
+    if m:
+        sub = f"mlp{m.group(3)}" if m.group(4) == "conv" else f"bn{m.group(3)}"
+        return f"rpn.backbone.sa{m.group(1)}.mlp_scale{m.group(2)}.{sub}"
+    m = re.match(r"^rpn\.backbone_net\.FP_modules\.(\d+)\.mlp\.layer(\d+)\.(conv|bn\.bn)$", k)
+    if m:
+        sub = f"mlp{m.group(2)}" if m.group(3) == "conv" else f"bn{m.group(2)}"
+        return f"rpn.backbone.fp{m.group(1)}.mlp.{sub}"
+    m = re.match(r"^rpn\.rpn_(cls|reg)_layer\.(\d+)\.(conv|bn\.bn)$", k)
+    if m:
+        head, s, kind = m.group(1), int(m.group(2)), m.group(3)
+        n = n_cls_fc if head == "cls" else n_reg_fc
+        slot = _head_idx(s, n)
+        sub = slot if kind == "conv" else slot.replace("fc", "bn")
+        return f"rpn.{head}_head.{sub}"
+    m = re.match(r"^rcnn_net\.(xyz_up|merge_down)_layer\.layer(\d+)\.(conv|bn\.bn)$", k)
+    if m:
+        sub = f"mlp{m.group(2)}" if m.group(3) == "conv" else f"bn{m.group(2)}"
+        return f"rcnn.{m.group(1)}.{sub}"
+    m = re.match(r"^rcnn_net\.SA_modules\.(\d+)\.mlps\.0\.layer(\d+)\.(conv|bn\.bn)$", k)
+    if m:
+        sub = f"mlp{m.group(2)}" if m.group(3) == "conv" else f"bn{m.group(2)}"
+        return f"rcnn.sa{m.group(1)}.mlp.{sub}"
+    m = re.match(r"^rcnn_net\.(cls|reg)_layer\.(\d+)\.(conv|bn\.bn)$", k)
+    if m:
+        head, s, kind = m.group(1), int(m.group(2)), m.group(3)
+        n = n_cls_fc if head == "cls" else n_reg_fc
+        slot = _head_idx(s, n)
+        # RCNNNet heads are flat Dense layers named {head}_fc{i}/{head}_out
+        name = f"{head}_{slot}" if kind == "conv" else f"{head}_{slot.replace('fc', 'bn')}"
+        return f"rcnn.{name}"
+    return None
+
+
+def import_pointrcnn(path_or_sd, n_cls_fc: int = 1, n_reg_fc: int = 1,
+                     rcnn_n_cls_fc: int = 2, rcnn_n_reg_fc: int = 2):
+    """Released pointrcnn.pth -> (params, batch_stats) trees for
+    models.pointrcnn.PointRCNN ({'rpn': ..., 'rcnn': ...} scopes)."""
+    sd = (load_torch_state_dict(path_or_sd) if isinstance(path_or_sd, str)
+          else dict(path_or_sd))
+    out = {}
+    for k, arr in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        base, leaf_t = k.rsplit(".", 1)
+        ncf, nrf = ((rcnn_n_cls_fc, rcnn_n_reg_fc) if "rcnn_net." in k
+                    else (n_cls_fc, n_reg_fc))
+        nk = remap_pointrcnn_name(base, ncf, nrf)
+        if nk is None:
+            continue
+        arr = np.asarray(arr)
+        if leaf_t == "weight" and arr.ndim in (3, 4):
+            # 1x1 Conv1d/Conv2d -> Dense kernel (I, O)
+            out[f"{nk}.kernel"] = arr.reshape(arr.shape[0], arr.shape[1]).T
+        else:
+            leaf, conv = convert_tensor(f"x.{leaf_t}", arr)
+            out[f"{nk}.{leaf}"] = conv
+    return split_params_stats(to_tree(out))
+
+
+def import_disprcnn3d(path_or_sd) -> tuple[dict, dict]:
+    """Full DispRCNN3D stage checkpoint (dispnet.* + pcnet.* scopes, DDP
+    'module.' prefixes already stripped by load_torch_state_dict) ->
+    (params, batch_stats) trees matching models.detector.DispRCNN3D
+    ({'idispnet': PSMNet, 'pointrcnn': PointRCNN})."""
+    sd = (load_torch_state_dict(path_or_sd) if isinstance(path_or_sd, str)
+          else dict(path_or_sd))
+    psm_sd = {k[len("dispnet."):]: v for k, v in sd.items()
+              if k.startswith("dispnet.")}
+    pr_sd = {k[len("pcnet."):]: v for k, v in sd.items()
+             if k.startswith("pcnet.")}
+    psm_p, psm_s = import_psmnet(psm_sd)
+    pr_p, pr_s = import_pointrcnn(pr_sd)
+    params = {}
+    stats = {}
+    if psm_p:
+        params["idispnet"] = psm_p
+    if psm_s:
+        stats["idispnet"] = psm_s
+    if pr_p:
+        params["pointrcnn"] = pr_p
+    if pr_s:
+        stats["pointrcnn"] = pr_s
+    return params, stats
