@@ -213,3 +213,30 @@ def load_zarr(path: str) -> np.ndarray:
         out_view = out if shape else out  # 0-d handled via reshape above
         out_view[sel] = chunk[chunk_sel]
     return out.reshape(shape) if not shape else out
+
+
+def save_zarr(path: str, arr: np.ndarray, compressor: Optional[str] = "zlib") -> None:
+    """Write a single-chunk zarr-v2 DirectoryStore (the layout zarr.save
+    produces for one array). Used by tools/make_mini_kitti.py so the staged
+    e2e pipeline exercises the same store format the reference's pseudo-GT
+    dumps use; compressor 'zlib' or None (raw)."""
+    os.makedirs(path, exist_ok=True)
+    arr = np.ascontiguousarray(arr)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(arr.shape) if arr.shape else [1],
+        "dtype": arr.dtype.str,
+        "order": "C",
+        "fill_value": 0,
+        "filters": None,
+        "compressor": {"id": "zlib", "level": 1} if compressor == "zlib" else None,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    data = arr.tobytes()
+    if compressor == "zlib":
+        data = zlib.compress(data, 1)
+    key = ".".join("0" for _ in (arr.shape or (1,)))
+    with open(os.path.join(path, key), "wb") as f:
+        f.write(data)

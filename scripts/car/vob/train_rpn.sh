@@ -1,9 +1,7 @@
 #!/bin/bash
 # Stage 3: PointRCNN 3D RPN training (reference scripts/car/vob/train_rpn.sh):
-# 1) run the idispnet-stage inference to refresh the offline predictions
-#    (boxes+masks pass through; instance disparity is recomputed in-model by
-#    the rpn/rcnn configs' idispnet weights, so it is not stored offline),
-# 2) train the 3D RPN initialized from the idispnet checkpoint.
+# refresh the offline predictions from the idispnet stage, then train the
+# 3D RPN initialized from the idispnet checkpoint.
 set -e
 cd "$(dirname "$0")/../../.."
 python tools/test_net.py --config-file configs/kitti/car/vob/idispnet.yaml \

@@ -1,0 +1,8 @@
+#!/bin/bash
+# Stage 4: PointRCNN 3D RCNN training (reference scripts/cyclist/train_rcnn.sh):
+# the RPN stage's weights seed the RCNN stage (iteration reset = fresh
+# optimizer, MODEL.WEIGHT instead of the reference's ckpt file copy).
+set -e
+cd "$(dirname "$0")/../.."
+python tools/train_net.py --config-file configs/kitti/cyclist/rcnn.yaml \
+    "$@" MODEL.WEIGHT models/kitti/cyclist/rpn/ckpt

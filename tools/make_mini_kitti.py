@@ -5,9 +5,11 @@ docs/TRAIN_VAL.md + kitti_car.py loaders):
   <root>/object/training/{image_2,image_3}/%06d.png        stereo pair
   <root>/object/training/{label_2,label_3}/%06d.txt        KITTI labels
   <root>/object/training/calib/%06d.txt                    P0..P3/R0/Tr lines
-  <root>/object/training/disparity_vob/%06d.png            16-bit disp*256
-  <root>/object/training/mask_2_vob/%06d.pkl               instance masks
+  <root>/object/training/<base>/disparity_2/%06d.png       16-bit disp*256
+  <root>/object/training/<base>/mask_2/%06d.zarr           instance masks
   <root>/object/split_set/{train,val,trainval}_set.txt
+(the reference pseudo-GT layout, kitti_car.py:275-305; --cls writes
+Pedestrian/Cyclist label files for the non-car recipes)
 
 Scenes come from data.datasets.synthetic.SyntheticStereoDataset, so GT boxes,
 disparity and 3D boxes are exact by construction — the 4-stage recipe can run
@@ -19,7 +21,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import pickle
 import sys
 
 import numpy as np
@@ -62,11 +63,18 @@ def main():
     p.add_argument("--n-val", type=int, default=8)
     p.add_argument("--image-hw", default="192,640")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cls", default="Car",
+                   choices=("Car", "Pedestrian", "Cyclist"),
+                   help="object class written to the label files")
+    p.add_argument("--base", default="vob", choices=("vob", "pob"),
+                   help="shape-prior base dir (reference layout "
+                        "object/training/<base>/{disparity_2,mask_2})")
     args = p.parse_args()
 
     from PIL import Image
 
     from disprcnn_tpu.data.datasets.synthetic import SyntheticStereoDataset
+    from disprcnn_tpu.data.zarr_io import save_zarr
 
     hw = tuple(int(v) for v in args.image_hw.split(","))
     n = args.n_train + args.n_val
@@ -76,7 +84,7 @@ def main():
 
     tr = os.path.join(args.root, "object", "training")
     for sub in ("image_2", "image_3", "label_2", "label_3", "calib",
-                "disparity_vob", "mask_2_vob"):
+                f"{args.base}/disparity_2", f"{args.base}/mask_2"):
         os.makedirs(os.path.join(tr, sub), exist_ok=True)
     os.makedirs(os.path.join(args.root, "object", "split_set"), exist_ok=True)
 
@@ -91,16 +99,19 @@ def main():
         write_calib(os.path.join(tr, "calib", f"{imgid}.txt"),
                     float(c["fu"]), float(c["cu"]), float(c["cv"]), float(c["fuxb"]))
         write_labels(os.path.join(tr, "label_2", f"{imgid}.txt"),
-                     s["gt_left"], s["gt_box3d"], s["gt_valid"])
+                     s["gt_left"], s["gt_box3d"], s["gt_valid"], cls=args.cls)
         write_labels(os.path.join(tr, "label_3", f"{imgid}.txt"),
-                     s["gt_right"], s["gt_box3d"], s["gt_valid"])
+                     s["gt_right"], s["gt_box3d"], s["gt_valid"], cls=args.cls)
         disp16 = np.clip(s["gt_disp"] * 256.0, 0, 65535).astype(np.uint16)
         Image.fromarray(disp16, mode="I;16").save(
-            os.path.join(tr, "disparity_vob", f"{imgid}.png")
+            os.path.join(tr, args.base, "disparity_2", f"{imgid}.png")
         )
+        # the reference stores masks as <base>/mask_2/<id>.zarr
+        # (kitti_car.py:275-288) — written with the in-repo zarr writer so
+        # the pipeline exercises the same store format
         masks = s["gt_masks"][s["gt_valid"]]
-        with open(os.path.join(tr, "mask_2_vob", f"{imgid}.pkl"), "wb") as f:
-            pickle.dump(masks.astype(np.uint8), f)
+        save_zarr(os.path.join(tr, args.base, "mask_2", f"{imgid}.zarr"),
+                  masks.astype(np.uint8))
 
     ids = [f"{i:06d}" for i in range(n)]
     splits = {
