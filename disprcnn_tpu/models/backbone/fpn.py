@@ -108,6 +108,11 @@ class ResNetFPNBackbone(nn.Module):
     stride_in_1x1: bool = True
     top_blocks: str = "maxpool"  # "maxpool" | "p6p7" | "none"
     skip_c2: bool = False  # retinanet: laterals on C3-C5 only (P3-P7)
+    # MODEL.FBNET.* passthrough (active for CONV_BODY "FBNet[-<arch>]")
+    fbnet_scale_factor: float = 1.0
+    fbnet_width_divisor: int = 1
+    fbnet_dw_skip_bn: bool = True
+    fbnet_dw_skip_relu: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -116,7 +121,14 @@ class ResNetFPNBackbone(nn.Module):
             from .fbnet import FBNet
 
             arch = self.body.split("-")[1] if "-" in self.body else "default"
-            cs = FBNet(arch=arch, dtype=self.dtype, name="body")(x)
+            cs = FBNet(
+                arch=arch,
+                scale_factor=self.fbnet_scale_factor,
+                width_divisor=self.fbnet_width_divisor,
+                dw_skip_bn=self.fbnet_dw_skip_bn,
+                dw_skip_relu=self.fbnet_dw_skip_relu,
+                dtype=self.dtype, name="body",
+            )(x)
         else:
             from .resnet import ResNet
 

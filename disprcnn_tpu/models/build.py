@@ -72,6 +72,8 @@ def build_detection_model(cfg):
             max_gt=cfg.TPU.MAX_GT,
             mask_on=cfg.MODEL.MASK_ON,
             use_gn=cfg.MODEL.BACKBONE.USE_GN,
+            fbnet_scale_factor=cfg.MODEL.FBNET.SCALE_FACTOR,
+            fbnet_width_divisor=cfg.MODEL.FBNET.WIDTH_DIVISOR,
             dtype=_dtype(cfg),
         )
     if meta in ("DispRCNN", "GeneralizedRCNN"):
@@ -121,6 +123,10 @@ def build_detection_model(cfg):
             use_gn=cfg.MODEL.BACKBONE.USE_GN,
             use_gn_fpn=cfg.MODEL.FPN.USE_GN,
             srpn_quirk_exact=cfg.TPU.SRPN_QUIRK_EXACT,
+            fbnet_scale_factor=cfg.MODEL.FBNET.SCALE_FACTOR,
+            fbnet_width_divisor=cfg.MODEL.FBNET.WIDTH_DIVISOR,
+            fbnet_dw_skip_bn=cfg.MODEL.FBNET.DW_CONV_SKIP_BN,
+            fbnet_dw_skip_relu=cfg.MODEL.FBNET.DW_CONV_SKIP_RELU,
             dtype=_dtype(cfg),
         )
     if meta == "DispRCNN3D":

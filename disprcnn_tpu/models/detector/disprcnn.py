@@ -78,6 +78,11 @@ class DispRCNN(nn.Module):
     # backbone norm (MODEL.BACKBONE.USE_GN / MODEL.FPN.USE_GN)
     use_gn: bool = False
     use_gn_fpn: bool = False
+    # MODEL.FBNET.* (CONV_BODY FBNet* bodies)
+    fbnet_scale_factor: float = 1.0
+    fbnet_width_divisor: int = 1
+    fbnet_dw_skip_bn: bool = True
+    fbnet_dw_skip_relu: bool = True
     # TPU.SRPN_QUIRK_EXACT: replicate the reference SRPN planar-softmax /
     # interleaved-read / double-softmax chain (required for bit-parity with
     # released 2D checkpoints; see stereo_rpn.SRPNHead docstring)
@@ -103,6 +108,10 @@ class DispRCNN(nn.Module):
         backbone = ResNetFPNBackbone(
             body=self.body, out_channels=self.out_channels, freeze_at=self.freeze_at,
             use_gn_body=self.use_gn, use_gn_fpn=self.use_gn_fpn,
+            fbnet_scale_factor=self.fbnet_scale_factor,
+            fbnet_width_divisor=self.fbnet_width_divisor,
+            fbnet_dw_skip_bn=self.fbnet_dw_skip_bn,
+            fbnet_dw_skip_relu=self.fbnet_dw_skip_relu,
             dtype=self.dtype, name="backbone",
         )
         feats = backbone(jnp.concatenate([left, right], axis=0))

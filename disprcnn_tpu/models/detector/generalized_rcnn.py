@@ -61,6 +61,8 @@ class C4BoxHead(nn.Module):
     scale: float = 1.0 / 16.0
     sampling_ratio: int = 0
     use_gn: bool = False
+    fbnet_scale_factor: float = 1.0
+    fbnet_width_divisor: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -148,7 +150,10 @@ class GeneralizedRCNN(nn.Module):
             feats = ResNetFPNBackbone(
                 body=self.body, out_channels=self.out_channels,
                 freeze_at=self.freeze_at, use_gn_body=self.use_gn,
-                use_gn_fpn=self.use_gn, dtype=self.dtype, name="backbone",
+                use_gn_fpn=self.use_gn,
+                fbnet_scale_factor=self.fbnet_scale_factor,
+                fbnet_width_divisor=self.fbnet_width_divisor,
+                dtype=self.dtype, name="backbone",
             )(images)
             gen = AnchorGenerator(self.anchor_sizes, self.anchor_strides, self.aspect_ratios)
         anchors_np, vis_np = gen((img_h, img_w), [f.shape[1:3] for f in feats])
