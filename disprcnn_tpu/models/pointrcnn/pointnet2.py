@@ -27,17 +27,91 @@ from ...ops.points import (
 )
 
 
+class _SlicedDense(nn.Module):
+    """nn.Dense with a column-sliceable kernel. Param tree (name/shape/init)
+    is IDENTICAL to nn.Dense — checkpoints and the torch importer see no
+    difference — but the kernel's input-column blocks can be applied
+    separately (needed to factor a SharedMLP's first layer through the
+    neighbourhood gather without re-rounding raw coordinates, see
+    SharedMLP.__call__)."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        if self.use_bias:
+            self.bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+
+    def __call__(self, x, cols=None, with_bias=True):
+        k = self.kernel if cols is None else self.kernel[cols[0]:cols[1]]
+        y = x.astype(self.dtype) @ k.astype(self.dtype)
+        if self.use_bias and with_bias:
+            y = y + self.bias.astype(self.dtype)
+        return y
+
+
 class SharedMLP(nn.Module):
-    """Stack of 1x1 conv + (BN) + ReLU over the last axis."""
+    """Stack of 1x1 conv + (BN) + ReLU over the last axis.
+
+    `factored` calling convention (grouping is LINEAR, so layer 0 commutes
+    with the neighbourhood gather): the FEATURE columns of mlp0 are applied
+    once at the N source points and the C0-wide result is gathered, while
+    the 3 xyz columns are applied per-group on the centered f32-gathered
+    coordinates (cheap: Cin=3). This moves the widest matmul of the stack
+    from the (B, M, S, ·) grouped domain (M*S >> N: 8192 vs 512 at the RCNN
+    geometry, ~66 GFLOP) to the (B, N, ·) point domain (~4 GFLOP), with the
+    SAME rounding structure as the literal path (xyz centered in f32 before
+    the bf16 cast — applying mlp0 to RAW coordinates and subtracting the
+    center term afterwards would amplify bf16 rounding ~|x|/radius-fold by
+    cancellation). Valid whenever BN is off or frozen (eval): BN train
+    stats are computed over the grouped domain, which does not commute.
+    """
 
     channels: Sequence[int]
     use_bn: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        for i, c in enumerate(self.channels):
-            x = nn.Dense(c, use_bias=not self.use_bn, dtype=self.dtype, name=f"mlp{i}")(x)
+    def __call__(self, x=None, train: bool = False, *, factored=None):
+        start = 0
+        if factored is not None:
+            feats, grouped_xyz, gather = factored
+            nxyz = 0 if grouped_xyz is None else 3
+            nfeat = 0 if feats is None else feats.shape[-1]
+            dense0 = _SlicedDense(
+                nxyz + nfeat, self.channels[0], use_bias=not self.use_bn,
+                dtype=self.dtype, name="mlp0",
+            )
+            if feats is not None:
+                v = dense0(feats, cols=(nxyz, nxyz + nfeat))  # (B, N, C0) + bias
+                x = gather(v)  # (B, M, S, C0)
+                if grouped_xyz is not None:
+                    x = x + dense0(
+                        grouped_xyz.astype(self.dtype), cols=(0, 3),
+                        with_bias=False,
+                    )
+            else:
+                x = dense0(grouped_xyz.astype(self.dtype), cols=(0, 3))
+            if self.use_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    name="bn0", dtype=self.dtype,
+                )(x)
+            x = nn.relu(x)
+            start = 1
+        for i in range(start, len(self.channels)):
+            x = nn.Dense(
+                self.channels[i], use_bias=not self.use_bn, dtype=self.dtype,
+                name=f"mlp{i}",
+            )(x)
             if self.use_bn:
                 # dtype: keep activations in the compute dtype — the flax
                 # default promotes BN outputs to f32, doubling the HBM
@@ -82,6 +156,29 @@ def sample_and_group(
     return grouped_xyz
 
 
+def _fused_group_mlp(
+    mlp_mod, xyz, features, new_xyz, radius, nsample, use_xyz, use_bn, train
+):
+    """Ball-grouped SharedMLP with mlp0's feature columns factored to run at
+    the N source points (SharedMLP factored path); the gathers stay on the
+    idx-one-hot MXU contraction of group_points. (A rank-derived one-hot
+    that skips the index pass entirely was tried: its two-operand broadcast
+    producer does NOT fuse into the dot — XLA materializes the (B, M*S, N)
+    operand in HBM, rcnn_net 15 -> 34 ms. The shallow idx == iota compare
+    fuses.) Falls back to the literal grouped path when BN is in training
+    mode (its stats are over the grouped domain)."""
+    if train and use_bn:
+        g = sample_and_group(xyz, features, new_xyz, radius, nsample, use_xyz)
+        return mlp_mod(g, train)
+    idx = ball_query(new_xyz, xyz, radius, nsample)  # (B, M, S) int32
+    gx = None
+    if use_xyz:
+        gx = group_points(xyz, idx) - new_xyz[:, :, None, :]  # f32, C=3
+    return mlp_mod(
+        train=train, factored=(features, gx, lambda v: group_points(v, idx))
+    )
+
+
 class SAModuleMSG(nn.Module):
     """Multi-scale-grouping set abstraction (PointnetSAModuleMSG)."""
 
@@ -100,8 +197,10 @@ class SAModuleMSG(nn.Module):
         new_xyz = xyz if idx is None else gather_points(xyz, idx)
         outs = []
         for i, (r, ns, mlp) in enumerate(zip(self.radii, self.nsamples, self.mlps)):
-            g = sample_and_group(xyz, features, new_xyz, r, ns, self.use_xyz)
-            g = SharedMLP(mlp, self.use_bn, self.dtype, name=f"mlp_scale{i}")(g, train)
+            g = _fused_group_mlp(
+                SharedMLP(mlp, self.use_bn, self.dtype, name=f"mlp_scale{i}"),
+                xyz, features, new_xyz, r, ns, self.use_xyz, self.use_bn, train,
+            )
             outs.append(jnp.max(g, axis=2))  # (B, M, C_i)
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
@@ -129,8 +228,11 @@ class SAModule(nn.Module):
             return new_xyz, jnp.max(g, axis=2)
         idx = fps_or_identity(xyz, self.npoint)
         new_xyz = xyz if idx is None else gather_points(xyz, idx)
-        g = sample_and_group(xyz, features, new_xyz, self.radius, self.nsample, self.use_xyz)
-        g = SharedMLP(self.mlp, self.use_bn, self.dtype, name="mlp")(g, train)
+        g = _fused_group_mlp(
+            SharedMLP(self.mlp, self.use_bn, self.dtype, name="mlp"),
+            xyz, features, new_xyz, self.radius, self.nsample, self.use_xyz,
+            self.use_bn, train,
+        )
         return new_xyz, jnp.max(g, axis=2)
 
 

@@ -69,12 +69,25 @@ def roipool3d(
     idx, cnt = _first_k_cycled_rows(mask.reshape(bsz * m, n), sampled_pts_num)
     idx = idx.reshape(bsz, m, sampled_pts_num)
     cnt = cnt.reshape(bsz, m)
+    if jax.default_backend() == "tpu":
+        # idx-one-hot MXU gathers (ops/points.group_points): the vmapped
+        # fancy-index gather lowered to per-row slices — measured 3.1 ms vs
+        # ~0.5 ms for the contraction at the (16, 16 rois, 768 pts,
+        # 512 samples) geometry. xyz and features gathered separately (xyz
+        # stays f32 for the canonical transform downstream; one CSE'd
+        # one-hot operand serves both matmuls).
+        from .points import group_points
 
-    def per_batch(p, f, i):
-        full = jnp.concatenate([p, f], axis=-1)  # (N, 3+C)
-        return full[i]  # (M, S, 3+C)
+        pooled = jnp.concatenate(
+            [group_points(pts, idx), group_points(feats, idx)], axis=-1
+        )
+    else:
 
-    pooled = jax.vmap(per_batch)(pts, feats, idx)
+        def per_batch(p, f, i):
+            full = jnp.concatenate([p, f], axis=-1)  # (N, 3+C)
+            return full[i]  # (M, S, 3+C)
+
+        pooled = jax.vmap(per_batch)(pts, feats, idx)
     empty = cnt == 0
     pooled = jnp.where(empty[:, :, None, None], 0.0, pooled)
     return pooled, empty

@@ -44,6 +44,35 @@ def roundtrip_floor(device=None, n: int = 10) -> float:
     return (time.perf_counter() - t0) / n
 
 
+_PEAK_BF16_FLOPS = {
+    # peak dense bf16 FLOP/s per chip by device_kind (public TPU specs)
+    "tpu v4": 275e12,
+    "tpu v5 lite": 197e12,
+    "tpu v5e": 197e12,
+    "tpu v5p": 459e12,
+    "tpu v5": 459e12,
+    "tpu v6e": 918e12,
+    "tpu v6 lite": 918e12,
+}
+
+
+def compiled_flops(fn: Callable, *args) -> float:
+    """HLO FLOPs XLA schedules for one fn(*args) call (its own cost model)."""
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def peak_flops(device=None) -> float:
+    """Peak bf16 FLOP/s of the (first) device, 0 if unknown."""
+    d = device or jax.devices()[0]
+    return _PEAK_BF16_FLOPS.get(getattr(d, "device_kind", "").lower(), 0.0)
+
+
 def device_timeit(fn: Callable, *args, n: int = 20, warmup: int = 2) -> float:
     """Milliseconds per call of fn(*args), tunnel-safe.
 

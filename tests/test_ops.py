@@ -271,3 +271,34 @@ def test_ball_query_einsum_branch_matches(monkeypatch, rng):
     got = pts_mod.ball_query.__wrapped__(
         jnp.asarray(centers), jnp.asarray(pts), 0.9, 8)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_group_mlp_matches_literal(rng):
+    """The factored SharedMLP path (mlp0 feature columns at N points + fused
+    one-hot gather) must match the literal grouped path to f32 roundoff,
+    with and without BN (eval), features, and use_xyz."""
+    import jax
+
+    from disprcnn_tpu.models.pointrcnn.pointnet2 import (
+        SharedMLP, _fused_group_mlp, sample_and_group,
+    )
+
+    b, n, m, s = 2, 40, 6, 8
+    xyz = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32)) * 2.0
+    new_xyz = xyz[:, :m]
+    for use_bn in (False, True):
+        for c in (None, 16):
+            feats = (
+                None if c is None
+                else jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+            )
+            mlp = SharedMLP((16, 24), use_bn=use_bn)
+            g = sample_and_group(xyz, feats, new_xyz, 1.5, s, True)
+            v = mlp.init(jax.random.PRNGKey(0), g, False)
+            want = mlp.apply(v, g, False)
+            got = _fused_group_mlp(
+                mlp.bind(v), xyz, feats, new_xyz, 1.5, s, True, use_bn, False
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+            )

@@ -88,20 +88,26 @@ def main():
     calib1 = {k: jnp.full((d,), v) for k, v in
               dict(fu=721.5, fv=721.5, cu=w / 2, cv=h / 2, tx=0.0, ty=0.0, fuxb=389.6).items()}
 
+    from disprcnn_tpu.utils.benchmarking import compiled_flops, peak_flops
+
     t = {}
+    fl = {}
 
     f2d = jax.jit(lambda v, l, r: model2d.apply(v, l, r, train=False)["detections"].left)
     t["2d_detector"] = timeit(f2d, v2d, img, img)
+    fl["2d_detector"] = compiled_flops(f2d, v2d, img, img)
 
     fcrop = jax.jit(lambda l, r: (
         crop_and_normalize(l, width_aligned_crop_boxes(lb, rb)[0], bi, 224),
         crop_and_normalize(r, width_aligned_crop_boxes(lb, rb)[1], bi, 224),
     ))
     t["roi_crop"] = timeit(fcrop, img, img)
+    fl["roi_crop"] = compiled_flops(fcrop, img, img)
     lc, rc = fcrop(img, img)
 
     fpsm = jax.jit(lambda v, a, b: psm.apply(v, a, b, train=False))
     t["psmnet_rois"] = timeit(fpsm, vpsm, lc, rc)
+    fl["psmnet_rois"] = compiled_flops(fpsm, vpsm, lc, rc)
     disp = fpsm(vpsm, lc, rc)
 
     def flift(disp, masks):
@@ -117,6 +123,7 @@ def main():
 
     flift_j = jax.jit(flift)
     t["lift"] = timeit(flift_j, disp, masks)
+    fl["lift"] = compiled_flops(flift, disp, masks)
     pts_c, has, ang, mean = flift_j(disp, masks)
 
     fpr = jax.jit(
@@ -125,11 +132,21 @@ def main():
         )["box3d"]
     )
     t["pointrcnn"] = timeit(fpr, vpr, pts_c, has, ang, mean)
+    fl["pointrcnn"] = compiled_flops(fpr, vpr, pts_c, has, ang, mean)
 
     total = sum(t.values())
+    peak = peak_flops()
+    print(f"{'stage':>14}  {'ms':>8}  {'%':>5}  {'GFLOP':>8}  {'TFLOP/s':>8}  {'MFU%':>5}")
     for k, v in t.items():
-        print(f"{k:>14}: {v:8.2f} ms  ({v / total * 100:4.1f}%)")
-    print(f"{'total':>14}: {total:8.2f} ms  -> {1000.0 / total:.2f} pairs/s (sum of stages)")
+        g = fl.get(k, 0.0)
+        tf = g / (v * 1e-3) / 1e12 if v else 0.0
+        mfu = tf * 1e12 / peak * 100 if peak else 0.0
+        print(f"{k:>14}  {v:8.2f}  {v / total * 100:5.1f}  {g / 1e9:8.1f}  {tf:8.2f}  {mfu:5.1f}")
+    gtot = sum(fl.values())
+    print(
+        f"{'total':>14}  {total:8.2f}  -> {1000.0 / total:.2f} pairs/s (sum of stages), "
+        f"{gtot / 1e9:.1f} GFLOP/pair, MFU {gtot / (total * 1e-3) / peak * 100 if peak else 0:.1f}%"
+    )
 
     if args.trace_dir:
         import jax.profiler

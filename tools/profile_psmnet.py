@@ -76,9 +76,21 @@ def main():
     log("timing full psmnet...")
     t_full = device_timeit(fpsm, vpsm, crops, crops)
 
-    print(f"feature tower: {t_fe:8.2f} ms")
-    print(f"full psmnet:   {t_full:8.2f} ms")
-    print(f"trunk+classif: {t_full - t_fe:8.2f} ms (derived)")
+    from disprcnn_tpu.utils.benchmarking import compiled_flops, peak_flops
+
+    g_fe = compiled_flops(
+        lambda v, a, b: feat.apply(v, jnp.concatenate([a, b]), False), vfe, crops, crops)
+    g_full = compiled_flops(
+        lambda v, a, b: psm.apply(v, a, b, train=False), vpsm, crops, crops)
+    peak = peak_flops()
+
+    def mfu(g, ms):
+        return g / (ms * 1e-3) / peak * 100 if peak and ms else 0.0
+
+    print(f"feature tower: {t_fe:8.2f} ms  {g_fe / 1e9:8.1f} GFLOP  MFU {mfu(g_fe, t_fe):5.1f}%")
+    print(f"full psmnet:   {t_full:8.2f} ms  {g_full / 1e9:8.1f} GFLOP  MFU {mfu(g_full, t_full):5.1f}%")
+    t_tr, g_tr = t_full - t_fe, g_full - g_fe
+    print(f"trunk+classif: {t_tr:8.2f} ms  {g_tr / 1e9:8.1f} GFLOP  MFU {mfu(g_tr, t_tr):5.1f}% (derived)")
 
 
 if __name__ == "__main__":

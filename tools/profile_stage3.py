@@ -124,9 +124,26 @@ def main():
     t["rcnn_postproc"] = device_timeit(
         fpost, cls_pred, reg_pred, rois, prop_valid & ~empty, roi_scores)
 
+    from disprcnn_tpu.utils.benchmarking import compiled_flops, peak_flops
+
+    fl = {}
+    fl["rpn3d_pointnet"] = compiled_flops(
+        lambda v, p: rpn.apply(v, p, train=False)["cls"], vr, pts)
+    fl["propose_nms"] = compiled_flops(
+        fprop, rpn_out["cls"], rpn_out["reg"], rpn_out["xyz"])
+    fl["roipool3d"] = compiled_flops(
+        lambda x, f, s, ro: rcnn3d.pool_rcnn_inputs(
+            x, f, s, ro, num_points=prcnn.rcnn_num_points),
+        xyz_rect, rpn_out["features"], seg, rois)
+    fl["rcnn_net"] = compiled_flops(lambda v, p: rc.apply(v, p, train=False), vc, flat)
+
     total = sum(t.values())
+    peak = peak_flops()
     for kk, vv in t.items():
-        print(f"{kk:>16}: {vv:8.2f} ms  ({vv / total * 100:4.1f}%)")
+        g = fl.get(kk, 0.0)
+        mfu = g / (vv * 1e-3) / peak * 100 if peak and vv else 0.0
+        print(f"{kk:>16}: {vv:8.2f} ms  ({vv / total * 100:4.1f}%)  "
+              f"{g / 1e9:8.1f} GFLOP  MFU {mfu:5.1f}%")
     print(f"{'stage3 total':>16}: {total:8.2f} ms")
 
     # ---- 2D detector split ----
