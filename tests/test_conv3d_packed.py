@@ -286,3 +286,4 @@ def test_cost_volume_packed_matches_oracle():
     up = np.asarray(got_packed).reshape(b, dg, h, w, g, 2 * c)
     up = up.transpose(0, 1, 4, 2, 3, 5).reshape(b, hi - lo, h, w, 2 * c)
     np.testing.assert_allclose(up, want, rtol=1e-6, atol=1e-6)
+
