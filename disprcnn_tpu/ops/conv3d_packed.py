@@ -35,15 +35,20 @@ def _pick_group(d: int, co: int) -> int:
 
 
 def pack_kernel(kernel: jnp.ndarray, g: int) -> jnp.ndarray:
-    """(3, kh, kw, Ci, Co) depth-kernel -> banded (kh, kw, (G+2)Ci, G*Co)."""
+    """(3, kh, kw, Ci, Co) depth-kernel -> banded (kh, kw, (G+2)Ci, G*Co).
+
+    Built as G pads of the contiguous 3Ci-row band + one concat: the
+    .at[].set form emitted 3G serialized dynamic-update-slices PER CONV at
+    runtime (the kernel is a param, so XLA cannot fold them) — measured
+    ~1.1 ms/iter across the PSMNet trunk's ~30 packed convs."""
     kd, kh, kw, ci, co = kernel.shape
     assert kd == 3, "packed path is specialized to depth-kernel 3"
-    wp = jnp.zeros((kh, kw, (g + 2) * ci, g * co), kernel.dtype)
-    for j in range(g):
-        for t in range(kd):
-            wp = wp.at[:, :, (j + t) * ci : (j + t + 1) * ci,
-                       j * co : (j + 1) * co].set(kernel[t])
-    return wp
+    kflat = kernel.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kd * ci, co)
+    cols = [
+        jnp.pad(kflat, ((0, 0), (0, 0), (j * ci, (g - 1 - j) * ci), (0, 0)))
+        for j in range(g)
+    ]
+    return jnp.concatenate(cols, axis=-1)
 
 
 def conv3d_packed(
@@ -135,13 +140,16 @@ def pack_kernel_strided(kernel: jnp.ndarray, g_in: int) -> jnp.ndarray:
     kd, kh, kw, ci, co = kernel.shape
     assert kd == 3
     g_out = max(g_in // 2, 1)
-    wp = jnp.zeros((kh, kw, (g_in + 1) * ci, g_out * co), kernel.dtype)
-    for j in range(g_out):
-        for t in range(3):
-            s = 2 * j + t
-            wp = wp.at[:, :, s * ci : (s + 1) * ci,
-                       j * co : (j + 1) * co].set(kernel[t])
-    return wp
+    # contiguous 3Ci-row band at rows 2j..2j+3: pads + concat (see pack_kernel)
+    kflat = kernel.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kd * ci, co)
+    cols = [
+        jnp.pad(
+            kflat,
+            ((0, 0), (0, 0), (2 * j * ci, (g_in - 2 - 2 * j) * ci), (0, 0)),
+        )
+        for j in range(g_out)
+    ]
+    return jnp.concatenate(cols, axis=-1)
 
 
 def conv3d_packed_strided(
@@ -170,15 +178,19 @@ def pack_kernel_transposed(kernel: jnp.ndarray, g_in: int) -> jnp.ndarray:
     -> (kh, kw, (Gin+1)Ci, 2*Gin*Co)."""
     kd, kh, kw, ci, co = kernel.shape
     assert kd == 3
-    wp = jnp.zeros((kh, kw, (g_in + 1) * ci, 2 * g_in * co), kernel.dtype)
+    # even output slice 2j: K[1] band at row j; odd slice 2j+1: the
+    # contiguous [K[0]; K[2]] band at rows j..j+2 — pads + one concat
+    # (see pack_kernel for why not .at[].set)
+    kodd = jnp.concatenate([kernel[0], kernel[2]], axis=2)  # (kh, kw, 2Ci, Co)
+    cols = []
     for j in range(g_in):
-        wp = wp.at[:, :, j * ci : (j + 1) * ci,
-                   (2 * j) * co : (2 * j + 1) * co].set(kernel[1])
-        wp = wp.at[:, :, j * ci : (j + 1) * ci,
-                   (2 * j + 1) * co : (2 * j + 2) * co].set(kernel[0])
-        wp = wp.at[:, :, (j + 1) * ci : (j + 2) * ci,
-                   (2 * j + 1) * co : (2 * j + 2) * co].set(kernel[2])
-    return wp
+        cols.append(
+            jnp.pad(kernel[1], ((0, 0), (0, 0), (j * ci, (g_in - j) * ci), (0, 0)))
+        )
+        cols.append(
+            jnp.pad(kodd, ((0, 0), (0, 0), (j * ci, (g_in - 1 - j) * ci), (0, 0)))
+        )
+    return jnp.concatenate(cols, axis=-1)
 
 
 def conv3d_packed_transposed(
@@ -209,7 +221,8 @@ def _shift_groups(x4: jnp.ndarray, dg: int, ci: int, direction: int) -> jnp.ndar
 
     Rank-4 throughout: mixing rank-5 (B, Dg, ...) views with the rank-4
     conv operands makes XLA materialize a layout copy per conv (measured
-    ~1.7 ms/conv of pure copies)."""
+    ~1.7 ms/conv of pure copies; re-verified round 2 — a slice+pad on the
+    rank-5 view costs the trunk ~2 ms vs this where-form)."""
     n = x4.shape[0]
     gi = jnp.arange(n) % dg
     if direction < 0:
@@ -228,7 +241,13 @@ def _shift_groups(x4: jnp.ndarray, dg: int, ci: int, direction: int) -> jnp.ndar
 def conv3d_packed_r4(
     x4: jnp.ndarray, kernel: jnp.ndarray, g: int, dg: int
 ) -> jnp.ndarray:
-    """Stride-1 SAME conv3d on a rank-4 packed volume -> same rank/packing."""
+    """Stride-1 SAME conv3d on a rank-4 packed volume -> same rank/packing.
+
+    Windowed form: halo slices concatenated on channels, one banded conv.
+    (A main-plus-halo-correction split — banded middle rows on x4 directly
+    plus two Ci->Co=32 corrective convs — cuts the counted FLOPs by 1/3 but
+    measured 3 ms SLOWER on the trunk: the 32-lane corrective convs run at
+    ~16 TFLOP/s, exactly the lane starvation the packing exists to avoid.)"""
     ci = kernel.shape[3]
     win = jnp.concatenate(
         [_shift_groups(x4, dg, ci, -1), x4, _shift_groups(x4, dg, ci, +1)],
@@ -296,12 +315,13 @@ def pack_kernel_w(kernel: jnp.ndarray, g: int) -> jnp.ndarray:
     channel banding (same scheme as pack_kernel, one spatial dim fewer)."""
     kh, kw, ci, co = kernel.shape
     assert kw == 3
-    wp = jnp.zeros((kh, 1, (g + 2) * ci, g * co), kernel.dtype)
-    for j in range(g):
-        for t in range(kw):
-            wp = wp.at[:, :, (j + t) * ci : (j + t + 1) * ci,
-                       j * co : (j + 1) * co].set(kernel[:, t : t + 1])
-    return wp
+    # contiguous 3Ci-row taps band (t-major): pads + concat, not .at[].set
+    kflat = kernel.reshape(kh, 1, kw * ci, co)
+    cols = [
+        jnp.pad(kflat, ((0, 0), (0, 0), (j * ci, (g - 1 - j) * ci), (0, 0)))
+        for j in range(g)
+    ]
+    return jnp.concatenate(cols, axis=-1)
 
 
 def conv2d_wpacked(
