@@ -138,6 +138,13 @@ def roi_align_batched(
     my, mx = jax.vmap(matrices)(boxes, batch_idx)  # (N, P, B*H), (N, P, W)
     my = my.astype(features.dtype)
     mx = mx.astype(features.dtype)
+    # contract the LONGER spatial axis first: the (R, P, uncontracted, C)
+    # intermediate carries the other one — at the 2-view P2 geometry the
+    # H-first order materialized (300, 7, 312, 256), ~0.7 ms more HBM
+    # traffic per call than W-first with B*H = 192
+    if w >= b * h:
+        t = jnp.einsum("rqw,hwc->rqhc", mx, flat)
+        return jnp.einsum("rph,rqhc->rpqc", my, t)
     t = jnp.einsum("rph,hwc->rpwc", my, flat)
     return jnp.einsum("rqw,rpwc->rpqc", mx, t)
 
