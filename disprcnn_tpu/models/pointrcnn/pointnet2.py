@@ -52,7 +52,16 @@ class _SlicedDense(nn.Module):
 
     def __call__(self, x, cols=None, with_bias=True):
         k = self.kernel if cols is None else self.kernel[cols[0]:cols[1]]
-        y = x.astype(self.dtype) @ k.astype(self.dtype)
+        x = x.astype(self.dtype)
+        k = k.astype(self.dtype)
+        if k.shape[0] <= 4:
+            # a K=3 contraction pads the MXU's 128-deep systolic dim 42x
+            # (measured 1.7 ms for the xyz term at the RCNN geometry); the
+            # unrolled broadcast mul+add rides the VPU and fuses with the
+            # surrounding add/BN/ReLU
+            y = sum(x[..., c:c + 1] * k[c] for c in range(k.shape[0]))
+        else:
+            y = x @ k
         if self.use_bias and with_bias:
             y = y + self.bias.astype(self.dtype)
         return y

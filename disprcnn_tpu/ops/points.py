@@ -97,6 +97,24 @@ def gather_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(lambda f, i: f[i])(feats, idx)
 
 
+def _rank_inclusive(mask: jnp.ndarray, force_mxu: Optional[bool] = None) -> jnp.ndarray:
+    """Inclusive prefix count of a bool mask along the last axis, int32.
+
+    TPU: upper-triangular ones MATMUL with f32 accumulation (exact for
+    n << 2^24) — jnp.cumsum lowers to reduce_window_sum, measured 0.7 ms
+    for a (3072, 768) mask where the MXU form is ~0.02 ms. CPU: cumsum.
+    `force_mxu` overrides the backend dispatch (tests).
+    """
+    use_mxu = (jax.default_backend() == "tpu") if force_mxu is None else force_mxu
+    if not use_mxu:
+        return jnp.cumsum(mask, axis=-1, dtype=jnp.int32)
+    n = mask.shape[-1]
+    tri = (jnp.arange(n)[:, None] <= jnp.arange(n)[None, :]).astype(jnp.bfloat16)
+    return jnp.dot(
+        mask.astype(jnp.bfloat16), tri, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+
+
 def first_k_true(mask: jnp.ndarray, k: int):
     """Indices of the first k True entries per row, in scan order.
 
@@ -111,7 +129,7 @@ def first_k_true(mask: jnp.ndarray, k: int):
     measured +6 ms on the RCNN stage at 1.07G elements).
     """
     r, n = mask.shape
-    rank = jnp.cumsum(mask, axis=-1, dtype=jnp.int32)  # (R, N)
+    rank = _rank_inclusive(mask)  # (R, N)
     cnt = jnp.minimum(rank[:, -1], k)
     if r * k * n <= 400_000_000 and jax.default_backend() == "tpu":
         # the (j+1)-th True entry is the unique MASKED position with

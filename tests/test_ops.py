@@ -256,6 +256,21 @@ def test_first_k_true_production_sizes(monkeypatch, rng):
             np.testing.assert_array_equal(idx[r, :wcnt], want[:wcnt])
 
 
+def test_roipool3d_hilo_gather_matches_f32(rng):
+    """The fused bf16 hi/lo one-hot gather (TPU path of roipool3d) must
+    reproduce the exact f32 row gather to ~2^-16 relative (hi/lo recombine)."""
+    from disprcnn_tpu.ops.roipool3d import _gather_onehot_hilo
+
+    pts = rng.uniform(-70, 70, (2, 40, 3)).astype(np.float32)
+    feats = rng.normal(size=(2, 40, 5)).astype(np.float32)
+    idx = rng.integers(0, 40, (2, 3, 16)).astype(np.int32)
+    got = np.asarray(_gather_onehot_hilo(
+        jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(idx)))
+    full = np.concatenate([pts, feats], axis=-1)
+    want = np.stack([full[b][idx[b]] for b in range(2)])
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
 def test_ball_query_einsum_branch_matches(monkeypatch, rng):
     """The MXU one-hot selection branch (TPU-only by default) must agree with
     the count branch and the oracle."""
