@@ -92,6 +92,13 @@ def main():
     t_tr, g_tr = t_full - t_fe, g_full - g_fe
     print(f"trunk+classif: {t_tr:8.2f} ms  {g_tr / 1e9:8.1f} GFLOP  MFU {mfu(g_tr, t_tr):5.1f}% (derived)")
 
+    if os.environ.get("TRACE"):
+        from tools.trace_report import capture, report
+
+        log("capturing per-op trace of the full psmnet forward...")
+        capture(fpsm, vpsm, crops, crops, trace_dir="/tmp/psm_trace", iters=5)
+        report("/tmp/psm_trace", top=40)
+
 
 if __name__ == "__main__":
     main()
