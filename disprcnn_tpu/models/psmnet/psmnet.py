@@ -16,7 +16,7 @@ implementation is TPU-native:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -215,6 +215,18 @@ def build_cost_volume(
     return jnp.stack(slices, axis=1)
 
 
+def _shift_zerofill(f: jnp.ndarray, i: int) -> jnp.ndarray:
+    """out[..., x, :] = f[..., x - i, :] where in-bounds, zero elsewhere.
+
+    A pad-of-slice (ONE HLO pad op, fusible) — jnp.roll lowers to two slices
+    + concat and still needs a separate mask multiply."""
+    if i == 0:
+        return f
+    if i > 0:
+        return jnp.pad(f[:, :, : f.shape[2] - i], ((0, 0), (0, 0), (i, 0), (0, 0)))
+    return jnp.pad(f[:, :, -i:], ((0, 0), (0, 0), (0, -i), (0, 0)))
+
+
 def build_cost_volume_packed(
     left_f: jnp.ndarray,
     right_f: jnp.ndarray,
@@ -224,22 +236,68 @@ def build_cost_volume_packed(
 ) -> jnp.ndarray:
     """Depth-packed cost volume: -> (B, D/G, H, W, G*2C). Same slices as
     build_cost_volume, but G consecutive disparity slices are concatenated on
-    channels directly — no canonical (B, D, H, W, 2C) tensor, no transpose."""
+    channels directly — no canonical (B, D, H, W, 2C) tensor, no transpose.
+
+    Each channel block is a single pad-of-slice (left masked to the in-bounds
+    columns == pad(left[:, :, i:]); right shifted-with-zero-fill), and each
+    group is ONE flat concat of 2G such blocks. The earlier roll+mask-mul+
+    nested-concat form materialized every disparity slice twice — measured
+    ~2.8 ms of the PSMNet stage in pure data movement against a ~0.6 ms
+    roofline for this tensor."""
     b, h, w, c = left_f.shape
-    cols = jnp.arange(w)
-    slices = []
-    for i in range(mindisp4, maxdisp4):
-        shifted = jnp.roll(right_f, i, axis=2)
-        m = cols >= i if i >= 0 else cols < w + i
-        mask = m[None, None, :, None].astype(left_f.dtype)
-        slices.append(jnp.concatenate([left_f * mask, shifted * mask], axis=-1))
+    la, rb = _cost_volume_blocks(left_f, right_f, mindisp4, maxdisp4)
+    dg = (maxdisp4 - mindisp4) // g
     groups = [
-        jnp.concatenate(slices[i : i + g], axis=-1)
-        for i in range(0, len(slices), g)
+        jnp.concatenate(
+            [t for pair in zip(la[g * gi : g * (gi + 1)],
+                               rb[g * gi : g * (gi + 1)]) for t in pair],
+            axis=-1,
+        )
+        for gi in range(dg)
     ]
     # rank-4 (B*Dg, H, W, G*2C): groups of the same image are consecutive
-    dg = len(groups)
     return jnp.stack(groups, axis=1).reshape(b * dg, h, w, g * 2 * c)
+
+
+def _cost_volume_blocks(left_f, right_f, mindisp4, maxdisp4):
+    """Per-disparity channel blocks: (left masked to in-bounds columns,
+    right shifted-with-zero-fill) — each a single pad-of-slice."""
+    w = left_f.shape[2]
+    la, rb = [], []
+    for i in range(mindisp4, maxdisp4):
+        # left mask cols >= i (i >= 0) / cols < w + i (i < 0): equals
+        # zero-filling the already-sliced left
+        if i >= 0:
+            lm = jnp.pad(left_f[:, :, i:], ((0, 0), (0, 0), (i, 0), (0, 0)))
+        else:
+            lm = jnp.pad(left_f[:, :, : w + i], ((0, 0), (0, 0), (0, -i), (0, 0)))
+        la.append(lm)
+        rb.append(_shift_zerofill(right_f, i))
+    return la, rb
+
+
+def build_cost_volume_packed_split(
+    left_f: jnp.ndarray,
+    right_f: jnp.ndarray,
+    mindisp4: int,
+    maxdisp4: int,
+    g: int,
+):
+    """-> (costa, costb): the packed cost volume as a channel-split PAIR —
+    costa carries the left (masked) feature blocks, costb the shifted right
+    blocks, each (B*Dg, H, W, G*C) slice-major. PackedConvBN3d's split path
+    chains two Pallas kernels over the halves, so the interleaved
+    (B*Dg, H, W, G*2C) tensor is never materialized (its first conv would
+    also exceed the fused kernel's VMEM at Ci=64)."""
+    b, h, w, c = left_f.shape
+    la, rb = _cost_volume_blocks(left_f, right_f, mindisp4, maxdisp4)
+    dg = (maxdisp4 - mindisp4) // g
+    ga = [jnp.concatenate(la[g * gi : g * (gi + 1)], axis=-1) for gi in range(dg)]
+    gb = [jnp.concatenate(rb[g * gi : g * (gi + 1)], axis=-1) for gi in range(dg)]
+    return (
+        jnp.stack(ga, axis=1).reshape(b * dg, h, w, g * c),
+        jnp.stack(gb, axis=1).reshape(b * dg, h, w, g * c),
+    )
 
 
 class _PackedKernelConv(nn.Module):
@@ -254,13 +312,17 @@ class _PackedKernelConv(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
 
+    in_features: Optional[int] = None  # needed only for raw=True
+
     @nn.compact
-    def __call__(self, x4):
-        ci = x4.shape[-1] // self.group
+    def __call__(self, x4=None, raw: bool = False):
+        ci = self.in_features if x4 is None else x4.shape[-1] // self.group
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, 3, ci, self.features), jnp.float32,
         )
+        if raw:
+            return kernel
         fn = conv3d_packed_r4 if self.stride == 1 else conv3d_packed_strided_r4
         return fn(x4.astype(self.dtype), kernel.astype(self.dtype),
                   self.group, self.dg)
@@ -303,7 +365,7 @@ class _PackedBN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x4, train: bool = False):
+    def __call__(self, x4=None, train: bool = False, raw: bool = False):
         c, g = self.features, self.group
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -313,6 +375,8 @@ class _PackedBN(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
+        if raw:
+            return scale, bias, ra_mean.value, ra_var.value
         if train:
             xf = x4.astype(jnp.float32)
             m_gc = jnp.mean(xf, axis=(0, 1, 2)).reshape(g, c)
@@ -333,7 +397,18 @@ class _PackedBN(nn.Module):
 
 class PackedConvBN3d(nn.Module):
     """ConvBN(dims=3, k=3, s=1|2) on a rank-4 depth-packed volume (see
-    ops/conv3d_packed.py for why: 32-channel conv3d uses 32/128 MXU lanes)."""
+    ops/conv3d_packed.py for why: 32-channel conv3d uses 32/128 MXU lanes).
+
+    `relu` / `residual` fold the following activation / skip-add into the
+    module so the eval TPU path can run the whole conv+BN+add+ReLU as ONE
+    Pallas kernel (ops/pallas/packed_conv.py: the XLA form spends ~40% of
+    each conv materializing the halo window in HBM — 2.0 -> 1.13 ms/conv at
+    the trunk geometry). The residual joins BEFORE the ReLU. Train (BN batch
+    stats + autodiff) and CPU keep the XLA path; both paths share one param
+    tree. `x4` may be a (xa, xb) tuple of channel-split volumes (the cost
+    volume's left/right feature halves): the Pallas path chains two kernels
+    over the split banded weights instead of building the concat — exact up
+    to f32 accumulation order."""
 
     features: int
     group: int
@@ -342,15 +417,76 @@ class PackedConvBN3d(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x4, train: bool = False):
-        y = _PackedKernelConv(
+    def __call__(self, x4, train: bool = False, relu: bool = False,
+                 residual=None):
+        split = isinstance(x4, (tuple, list))
+        ci_total = (
+            sum(v.shape[-1] for v in x4) if split else x4.shape[-1]
+        ) // self.group
+        conv = _PackedKernelConv(
             self.features, self.group, self.dg, self.stride, self.dtype,
-            name="Conv_0",
-        )(x4)
+            in_features=ci_total, name="Conv_0",
+        )
         g_out = self.group if self.stride == 1 else max(self.group // 2, 1)
-        return _PackedBN(
+        bn = _PackedBN(
             self.features, g_out, dtype=self.dtype, name="BatchNorm_0"
-        )(y, train)
+        )
+        hw = (x4[0] if split else x4).shape[1] * (x4[0] if split else x4).shape[2]
+        use_pallas = (
+            not train
+            and self.stride == 1
+            and jax.default_backend() == "tpu"
+            and not self.is_initializing()
+            # below ~1500 spatial positions/row the kernel's per-grid-step
+            # overhead dominates (hourglass half-res convs regressed
+            # 1.55 -> 2.76 ms before this gate); XLA wins there
+            and hw >= 1500
+        )
+        if use_pallas:
+            from ...ops.conv3d_packed import pack_kernel
+            from ...ops.pallas.packed_conv import packed_conv_bn
+
+            kernel = conv(raw=True)
+            scale, bias, mean, var = bn(raw=True)
+            mul = scale * jax.lax.rsqrt(var + bn.epsilon)
+            add = bias - mean * mul
+            mul_t = jnp.tile(mul, self.group)
+            add_t = jnp.tile(add, self.group)
+            dt = self.dtype
+            if split:
+                # conv(xa;Ka) + conv(xb;Kb): mul distributes over the sum,
+                # so fold mul into BOTH chained kernels and add/residual/relu
+                # into the last
+                assert residual is None, "split + residual not supported"
+                xa, xb = x4
+                cia = xa.shape[-1] // self.group
+                ya = packed_conv_bn(
+                    xa.astype(dt),
+                    pack_kernel(kernel[:, :, :, :cia, :].astype(dt), self.group),
+                    mul_t, jnp.zeros_like(add_t), self.dg, self.group,
+                    relu=False,
+                )
+                return packed_conv_bn(
+                    xb.astype(dt),
+                    pack_kernel(kernel[:, :, :, cia:, :].astype(dt), self.group),
+                    mul_t, add_t, self.dg, self.group, relu=relu, residual=ya,
+                )
+            return packed_conv_bn(
+                x4.astype(dt),
+                pack_kernel(kernel.astype(dt), self.group),
+                mul_t, add_t, self.dg, self.group, relu=relu,
+                residual=None if residual is None else residual.astype(dt),
+            )
+        if split:
+            # interleave channel halves back to slice-major [a_ci | b_ci]
+            n, h, w = x4[0].shape[:3]
+            parts = [v.reshape(n, h, w, self.group, -1) for v in x4]
+            x4 = jnp.concatenate(parts, axis=-1).reshape(n, h, w, -1)
+        y = conv(x4)
+        y = bn(y, train)
+        if residual is not None:
+            y = y + residual.astype(y.dtype)
+        return nn.relu(y) if relu else y
 
 
 class Hourglass(nn.Module):
@@ -373,17 +509,18 @@ class Hourglass(nn.Module):
         p2 = self.planes * 2
         if self.packed_group:
             g, dg = self.packed_group, self.packed_dg  # e.g. 4, D/4 at full res
-            out = nn.relu(
-                PackedConvBN3d(p2, g, dg, 2, self.dtype, name="ConvBN_0")(x, train)
+            out = PackedConvBN3d(p2, g, dg, 2, self.dtype, name="ConvBN_0")(
+                x, train, relu=True
             )  # half res, group g/2
-            pre = PackedConvBN3d(p2, g // 2, dg, 1, self.dtype, name="ConvBN_1")(out, train)
-            pre = nn.relu(pre + postsqu) if postsqu is not None else nn.relu(pre)
-            out = nn.relu(
-                PackedConvBN3d(p2, g // 2, dg, 2, self.dtype, name="ConvBN_2")(pre, train)
+            pre = PackedConvBN3d(p2, g // 2, dg, 1, self.dtype, name="ConvBN_1")(
+                out, train, relu=True, residual=postsqu
+            )
+            out = PackedConvBN3d(p2, g // 2, dg, 2, self.dtype, name="ConvBN_2")(
+                pre, train, relu=True
             )  # quarter res, group g/4 (>=1)
             gq = max(g // 4, 1)
-            out = nn.relu(
-                PackedConvBN3d(p2, gq, dg, 1, self.dtype, name="ConvBN_3")(out, train)
+            out = PackedConvBN3d(p2, gq, dg, 1, self.dtype, name="ConvBN_3")(
+                out, train, relu=True
             )
             up1 = _PackedDeconv(p2, gq, dg, self.dtype, name="ConvTranspose_0")(out)
             up1 = _PackedBN(p2, 2 * gq, dtype=self.dtype, name="BatchNorm_0")(up1, train)
@@ -485,15 +622,20 @@ class PSMNet(nn.Module):
         assert d4 % 4 == 0, "disparity range must be a multiple of 16"
         G = 4
         dg = d4 // G
-        costp = build_cost_volume_packed(
-            lf, rf, self.mindisp // 4, self.maxdisp // 4, G
-        )
+        if not train and jax.default_backend() == "tpu":
+            # channel-split pair: dres0_0's Pallas path chains two kernels
+            costp = build_cost_volume_packed_split(
+                lf, rf, self.mindisp // 4, self.maxdisp // 4, G
+            )
+        else:
+            costp = build_cost_volume_packed(
+                lf, rf, self.mindisp // 4, self.maxdisp // 4, G
+            )
         pc = partial(PackedConvBN3d, group=G, dg=dg, dtype=self.dtype)
-        x = nn.relu(pc(32, name="dres0_0")(costp, train))
-        x = nn.relu(pc(32, name="dres0_1")(x, train))
-        y = nn.relu(pc(32, name="dres1_0")(x, train))
-        y = pc(32, name="dres1_1")(y, train)
-        cost0p = y + x
+        x = pc(32, name="dres0_0")(costp, train, relu=True)
+        x = pc(32, name="dres0_1")(x, train, relu=True)
+        y = pc(32, name="dres1_0")(x, train, relu=True)
+        cost0p = pc(32, name="dres1_1")(y, train, residual=x)
 
         hg = partial(Hourglass, 32, dtype=self.dtype, packed_group=G, packed_dg=dg)
         out1, pre1, post1 = hg(name="dres2")(cost0p, None, None, train)
@@ -503,10 +645,10 @@ class PSMNet(nn.Module):
         out3, pre3, post3 = hg(name="dres4")(out2, pre1, post2, train)
         out3 = out3 + cost0p
 
-        h4, w4 = costp.shape[1], costp.shape[2]
+        h4, w4 = lf.shape[1], lf.shape[2]
 
         def classif(zp, name):
-            zp = nn.relu(pc(32, name=f"{name}_0")(zp, train))
+            zp = pc(32, name=f"{name}_0")(zp, train, relu=True)
             # Co=1: repack to G=D so the final conv has D output lanes
             # instead of 1 (slice-major channel order kept: (dg, g, c))
             zc = zp.reshape(b, dg, h4, w4, G * 32)

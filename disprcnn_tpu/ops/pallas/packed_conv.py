@@ -1,0 +1,148 @@
+"""Pallas fused window-build + banded conv + BN + ReLU for the PSMNet trunk.
+
+The depth-packed stride-1 trunk conv (ops/conv3d_packed.conv3d_packed_r4)
+spends ~40% of its time materializing the halo window in HBM: measured at
+the trunk geometry (N=96, 56x56, G=4, Ci=Co=32), the window concat alone is
+0.79 ms against the 0.97 ms banded conv — 2.0 ms/conv total, where the
+window's data movement roofline is ~0.3 ms. This kernel builds the window in
+VMEM instead, contracts the banded weight on the MXU with f32 accumulation,
+and folds the following BatchNorm affine (+ optional ReLU / residual add)
+into the output write.
+
+Layout (as conv3d_packed_r4): x4 (N=B*Dg, H, W, G*Ci) bf16, channels
+slice-major; banded weight from pack_kernel reshaped to (3, 3*(G+2)Ci, G*Co)
+(dh-major, then dw-major rows). Grid = N; per step the kernel
+- assembles win (H+2, W, (G+2)Ci): [prev group's last slice | G slices |
+  next group's first slice] with zero at image/depth boundaries (gi = n mod
+  Dg detects them: images are stacked along N) and zero kh-halo rows,
+- expands W taps into channels: win3 (H+2, W, 3*(G+2)Ci) = [w-1 | w | w+1]
+  (zero-filled at W edges) — so each kh tap is ONE (H*W, 3(G+2)Ci) x
+  (3(G+2)Ci, G*Co) MXU matmul on a contiguous slice,
+- accumulates the 3 kh taps in f32, applies y*mul + add (the folded BN),
+  optional ReLU, optional residual, and writes bf16.
+
+Exactness: identical arithmetic graph to conv3d_packed_r4 + _PackedBN up to
+f32 accumulation order (the XLA conv also accumulates in f32).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(dg, g, ci, relu, has_res, *refs):
+    if has_res:
+        xc, xp, xn, w3, mul, add, res, out, win3 = refs
+    else:
+        xc, xp, xn, w3, mul, add, out, win3 = refs
+        res = None
+    n = pl.program_id(0)
+    gi = n % dg
+    h, w = xc.shape[1], xc.shape[2]
+    winc = (g + 2) * ci
+    co = w3.shape[-1]
+
+    # --- center W-tap block: [prev last slice | G slices | next first slice]
+    # (xp/xn are FULL neighbour rows — Mosaic requires full-channel blocks —
+    # sliced to the halo Ci here)
+    prev = jnp.where(gi == 0, jnp.zeros((), xc.dtype), xp[0, :, :, g * ci - ci :])
+    nxt = jnp.where(gi == dg - 1, jnp.zeros((), xc.dtype), xn[0, :, :, :ci])
+    c0 = winc  # channel offset of the dw=1 (centered) block
+    win3[1 : h + 1, :, c0 : c0 + ci] = prev
+    win3[1 : h + 1, :, c0 + ci : c0 + ci + g * ci] = xc[0]
+    win3[1 : h + 1, :, c0 + (g + 1) * ci : c0 + winc] = nxt
+    zrow = jnp.zeros((1, w, winc), xc.dtype)
+    win3[0:1, :, c0 : 2 * winc] = zrow  # kh halo rows (SAME padding)
+    win3[h + 1 : h + 2, :, c0 : 2 * winc] = zrow
+
+    # --- W taps into channels: [w-1 | w | w+1], zero at W edges
+    wfull = win3[:, :, c0 : 2 * winc]
+    zcol = jnp.zeros((h + 2, 1, winc), xc.dtype)
+    win3[:, 1:, :winc] = wfull[:, : w - 1, :]
+    win3[:, 0:1, :winc] = zcol
+    win3[:, : w - 1, 2 * winc :] = wfull[:, 1:, :]
+    win3[:, w - 1 : w, 2 * winc :] = zcol
+
+    # --- 3 kh-tap matmuls, f32 accumulation
+    acc = jnp.zeros((h * w, co), jnp.float32)
+    for dh in range(3):
+        a = win3[dh : dh + h].reshape(h * w, 3 * winc)
+        acc = acc + jnp.dot(a, w3[dh], preferred_element_type=jnp.float32)
+
+    y = acc * mul[0] + add[0]
+    if res is not None:
+        # residual joins BEFORE the ReLU: covers both the hourglass skip
+        # (relu(conv_bn + postsqu)) and the plain dres1_1 + x (relu=False)
+        y = y + res[...].reshape(h * w, co).astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out[...] = y.reshape(1, h, w, co).astype(out.dtype)
+
+
+@partial(jax.jit, static_argnames=("dg", "g", "relu", "interpret"))
+def packed_conv_bn(
+    x4: jnp.ndarray,  # (N, H, W, G*Ci) bf16
+    w2: jnp.ndarray,  # banded (3, 3, (G+2)Ci, G*Co) from pack_kernel
+    mul: jnp.ndarray,  # (G*Co,) folded BN scale (f32)
+    add: jnp.ndarray,  # (G*Co,) folded BN shift (f32)
+    dg: int,
+    g: int,
+    relu: bool = True,
+    residual: jnp.ndarray | None = None,  # (N, H, W, G*Co), added pre-ReLU
+    interpret: bool = False,
+) -> jnp.ndarray:
+    n, h, w, gci = x4.shape
+    ci = gci // g
+    winc = (g + 2) * ci
+    co = w2.shape[-1]
+    w3 = w2.reshape(3, 3 * winc, co)
+    mul2 = mul.reshape(1, co).astype(jnp.float32)
+    add2 = add.reshape(1, co).astype(jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((1, h, w, gci), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # previous / next N rows for the depth halo (full-channel blocks —
+        # Mosaic requires the last dims be whole or 128-divisible — sliced
+        # to the edge Ci inside the kernel; clamped at the array edge and
+        # zeroed there via the gi test)
+        pl.BlockSpec((1, h, w, gci),
+                     lambda i: (jnp.maximum(i - 1, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, w, gci),
+                     lambda i: (jnp.minimum(i + 1, n - 1), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3 * winc, co), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x4, x4, x4, w3, mul2, add2]
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((1, h, w, co), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(residual)
+
+    return pl.pallas_call(
+        partial(_kernel, dg, g, ci, relu, residual is not None),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, w, co), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, co), x4.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, w, 3 * winc), x4.dtype),
+        ],
+        # the residual variant's working set peaks at ~16.3 MB (3 full-row
+        # input blocks + residual, double-buffered, + the win3 scratch) —
+        # just past Mosaic's default 16 MB scoped-vmem cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)

@@ -137,3 +137,30 @@ def test_fused_softargmin_interpret_matches_xla(rng):
         p = jax.nn.softmax(y, axis=-1)
         want = jnp.einsum("bhwd,d->bhw", p, jnp.arange(mindisp, maxdisp, dtype=jnp.float32))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_conv_bn_interpret_matches_xla(rng):
+    """packed_conv_bn (Pallas, interpret mode) vs conv3d_packed_r4 + BN
+    affine (+ReLU, +residual), including image-boundary depth halos (B>1)."""
+    from disprcnn_tpu.ops.conv3d_packed import (
+        conv3d_packed_r4, pack_depth, pack_kernel,
+    )
+    from disprcnn_tpu.ops.pallas.packed_conv import packed_conv_bn
+
+    B, D, H, W, CI, CO, G = 2, 8, 6, 10, 4, 4, 4
+    DG = D // G
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, CI)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(3, 3, 3, CI, CO)).astype(np.float32) * 0.2)
+    x4 = pack_depth(x, G).reshape(B * DG, H, W, G * CI)
+    mul = jnp.asarray(rng.normal(size=G * CO).astype(np.float32) * 0.5 + 1.0)
+    add = jnp.asarray(rng.normal(size=G * CO).astype(np.float32) * 0.1)
+    res = jnp.asarray(rng.normal(size=(B * DG, H, W, G * CO)).astype(np.float32))
+
+    base = conv3d_packed_r4(x4, kern, G, DG) * mul + add
+    w2 = pack_kernel(kern, G)
+    got = packed_conv_bn(x4, w2, mul, add, DG, G, relu=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), rtol=1e-4, atol=1e-5)
+    got2 = packed_conv_bn(
+        x4, w2, mul, add, DG, G, relu=True, residual=res, interpret=True)
+    want2 = jnp.maximum(base + res, 0)  # residual joins pre-ReLU
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=1e-4, atol=1e-5)

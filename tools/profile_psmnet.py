@@ -98,6 +98,10 @@ def main():
         log("capturing per-op trace of the full psmnet forward...")
         capture(fpsm, vpsm, crops, crops, trace_dir="/tmp/psm_trace", iters=5)
         report("/tmp/psm_trace", top=40)
+        from tools.trace_report import report_by_source
+
+        hlo = fpsm.lower(vpsm, crops, crops).compile().as_text()
+        report_by_source("/tmp/psm_trace", hlo, top=40)
 
 
 if __name__ == "__main__":
