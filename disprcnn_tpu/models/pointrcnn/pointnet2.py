@@ -13,7 +13,11 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+# tests set this True to run the fused-pool Pallas kernel interpreted on CPU
+_FORCE_INTERPRET = False
 
 from ...ops.points import (
     ball_query,
@@ -67,6 +71,47 @@ class _SlicedDense(nn.Module):
         return y
 
 
+class _RawDense(nn.Module):
+    """Param-only twin of nn.Dense (same names/shapes/init): lets the fused
+    eval path read mlp{i} weights without applying the layer. Only ever
+    called at APPLY time (init always runs the XLA path, which creates the
+    params through the real nn.Dense)."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias else None
+        )
+        return k, b
+
+
+class _RawBN(nn.Module):
+    """Param-only twin of nn.BatchNorm (scale/bias + batch_stats mean/var)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
 class SharedMLP(nn.Module):
     """Stack of 1x1 conv + (BN) + ReLU over the last axis.
 
@@ -89,8 +134,12 @@ class SharedMLP(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x=None, train: bool = False, *, factored=None):
+    def __call__(self, x=None, train: bool = False, *, factored=None,
+                 factored_max=None):
         start = 0
+        pool = factored_max is not None
+        if pool:
+            factored = factored_max
         if factored is not None:
             feats, grouped_xyz, gather = factored
             nxyz = 0 if grouped_xyz is None else 3
@@ -109,6 +158,19 @@ class SharedMLP(nn.Module):
                     )
             else:
                 x = dense0(grouped_xyz.astype(self.dtype), cols=(0, 3))
+            if (
+                pool
+                and not train
+                and jax.default_backend() == "tpu"
+                and not self.is_initializing()
+                and self.channels[0] >= 64
+            ):
+                # fused grouped MLP + max (ops/pallas/grouped_mlp.py): the
+                # (B, M, S, C) activations of every layer otherwise round-
+                # trip HBM (mlp1+mlp2+max = 3.85 ms at the RCNN SA0 geometry
+                # vs ~1.4 fused). BN affines fold into the input transform /
+                # layer weights at eval (running stats).
+                return self._fused_pool(x)
             if self.use_bn:
                 x = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -132,7 +194,45 @@ class SharedMLP(nn.Module):
                     name=f"bn{i}", dtype=self.dtype,
                 )(x)
             x = nn.relu(x)
+        if pool:
+            x = jnp.max(x, axis=2)
         return x
+
+    def _fused_pool(self, x):
+        """Eval-only: relu(x*bn0) -> mlp1..k (+folded BN, ReLU) -> max over S,
+        one Pallas pass. Raw param twins read the same tree the XLA path
+        creates at init."""
+        import jax.lax as lax
+
+        from ...ops.pallas.grouped_mlp import grouped_mlp_max
+
+        c0 = self.channels[0]
+        if self.use_bn:
+            s0, t0, m0, v0 = _RawBN(c0, name="bn0")()
+            mul0 = s0 * lax.rsqrt(v0 + 1e-5)
+            add0 = t0 - m0 * mul0
+        else:
+            mul0 = jnp.ones((c0,), jnp.float32)
+            add0 = jnp.zeros((c0,), jnp.float32)
+        weights = []
+        for i in range(1, len(self.channels)):
+            k, bi = _RawDense(
+                self.channels[i], self.channels[i - 1],
+                use_bias=not self.use_bn, name=f"mlp{i}",
+            )()
+            if self.use_bn:
+                si, ti, mi, vi = _RawBN(self.channels[i], name=f"bn{i}")()
+                mm = si * lax.rsqrt(vi + 1e-5)
+                k = k * mm[None, :]
+                bi = ti - mi * mm
+            weights.append((k, bi))
+        b, m, s, _ = x.shape
+        out = grouped_mlp_max(
+            x.reshape(b * m, s, c0).astype(jnp.bfloat16),
+            mul0, add0, tuple(weights),
+            interpret=_FORCE_INTERPRET,  # tests: kernel-on-CPU parity
+        )
+        return out.reshape(b, m, -1).astype(self.dtype)
 
 
 def sample_and_group(
@@ -168,23 +268,27 @@ def sample_and_group(
 def _fused_group_mlp(
     mlp_mod, xyz, features, new_xyz, radius, nsample, use_xyz, use_bn, train
 ):
-    """Ball-grouped SharedMLP with mlp0's feature columns factored to run at
-    the N source points (SharedMLP factored path); the gathers stay on the
-    idx-one-hot MXU contraction of group_points. (A rank-derived one-hot
-    that skips the index pass entirely was tried: its two-operand broadcast
-    producer does NOT fuse into the dot — XLA materializes the (B, M*S, N)
-    operand in HBM, rcnn_net 15 -> 34 ms. The shallow idx == iota compare
-    fuses.) Falls back to the literal grouped path when BN is in training
-    mode (its stats are over the grouped domain)."""
+    """Ball-grouped SharedMLP + neighbourhood max -> (B, M, C_last).
+
+    mlp0's feature columns factor to run at the N source points (SharedMLP
+    factored path); the gathers stay on the idx-one-hot MXU contraction of
+    group_points. (A rank-derived one-hot that skips the index pass entirely
+    was tried: its two-operand broadcast producer does NOT fuse into the
+    dot — XLA materializes the (B, M*S, N) operand in HBM, rcnn_net
+    15 -> 34 ms. The shallow idx == iota compare fuses.) The layers after
+    mlp0 + the max pool run as one fused Pallas pass at eval (SharedMLP.
+    _fused_pool). Falls back to the literal grouped path when BN is in
+    training mode (its stats are over the grouped domain)."""
     if train and use_bn:
         g = sample_and_group(xyz, features, new_xyz, radius, nsample, use_xyz)
-        return mlp_mod(g, train)
+        return jnp.max(mlp_mod(g, train), axis=2)
     idx = ball_query(new_xyz, xyz, radius, nsample)  # (B, M, S) int32
     gx = None
     if use_xyz:
         gx = group_points(xyz, idx) - new_xyz[:, :, None, :]  # f32, C=3
     return mlp_mod(
-        train=train, factored=(features, gx, lambda v: group_points(v, idx))
+        train=train,
+        factored_max=(features, gx, lambda v: group_points(v, idx)),
     )
 
 
@@ -206,11 +310,10 @@ class SAModuleMSG(nn.Module):
         new_xyz = xyz if idx is None else gather_points(xyz, idx)
         outs = []
         for i, (r, ns, mlp) in enumerate(zip(self.radii, self.nsamples, self.mlps)):
-            g = _fused_group_mlp(
+            outs.append(_fused_group_mlp(  # (B, M, C_i), max-pooled
                 SharedMLP(mlp, self.use_bn, self.dtype, name=f"mlp_scale{i}"),
                 xyz, features, new_xyz, r, ns, self.use_xyz, self.use_bn, train,
-            )
-            outs.append(jnp.max(g, axis=2))  # (B, M, C_i)
+            ))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 
@@ -242,7 +345,7 @@ class SAModule(nn.Module):
             xyz, features, new_xyz, self.radius, self.nsample, self.use_xyz,
             self.use_bn, train,
         )
-        return new_xyz, jnp.max(g, axis=2)
+        return new_xyz, g
 
 
 class FPModule(nn.Module):

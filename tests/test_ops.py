@@ -256,6 +256,48 @@ def test_first_k_true_production_sizes(monkeypatch, rng):
             np.testing.assert_array_equal(idx[r, :wcnt], want[:wcnt])
 
 
+def test_fused_pool_kernel_matches_xla(monkeypatch, rng):
+    """SharedMLP._fused_pool (Pallas grouped MLP+max, interpret mode on CPU)
+    must match the XLA factored+pooled path, with and without BN (eval).
+    Channels >= 64 so the kernel gate engages."""
+    import jax as _jax
+
+    import disprcnn_tpu.models.pointrcnn.pointnet2 as pn2
+    from disprcnn_tpu.models.pointrcnn.pointnet2 import (
+        SharedMLP, _fused_group_mlp,
+    )
+
+    from disprcnn_tpu.models.pointrcnn.pointnet2 import sample_and_group
+
+    monkeypatch.setattr(pn2, "_FORCE_INTERPRET", True)
+    b, n, m, s = 2, 40, 6, 8
+    xyz = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32)) * 2.0
+    new_xyz = xyz[:, :m]
+    feats = jnp.asarray(rng.normal(size=(b, n, 16)).astype(np.float32))
+    for use_bn in (False, True):
+        mlp = SharedMLP((64, 72), use_bn=use_bn, dtype=jnp.bfloat16)
+        args = (xyz, feats, new_xyz, 1.5, s, True, use_bn, False)
+        v = mlp.init(
+            _jax.random.PRNGKey(0),
+            jnp.zeros((b, m, s, 19), jnp.float32), False,
+        )
+        if use_bn:  # non-trivial folded stats
+            v = dict(v)
+            v["batch_stats"] = _jax.tree.map(
+                lambda a: a + 0.3 * jnp.abs(jnp.asarray(
+                    rng.normal(size=a.shape), a.dtype)),
+                v["batch_stats"])
+        # literal grouped path (never takes the kernel) as the oracle
+        g = sample_and_group(xyz, feats, new_xyz, 1.5, s, True)
+        want = jnp.max(mlp.apply(v, g, False), axis=2)
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        got = _fused_group_mlp(mlp.bind(v), *args)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2,  # bf16 kernel vs bf16-module XLA path
+        )
+
+
 def test_roipool3d_hilo_gather_matches_f32(rng):
     """The fused bf16 hi/lo one-hot gather (TPU path of roipool3d) must
     reproduce the exact f32 row gather to ~2^-16 relative (hi/lo recombine)."""
@@ -310,7 +352,7 @@ def test_fused_group_mlp_matches_literal(rng):
             mlp = SharedMLP((16, 24), use_bn=use_bn)
             g = sample_and_group(xyz, feats, new_xyz, 1.5, s, True)
             v = mlp.init(jax.random.PRNGKey(0), g, False)
-            want = mlp.apply(v, g, False)
+            want = jnp.max(mlp.apply(v, g, False), axis=2)  # pooled
             got = _fused_group_mlp(
                 mlp.bind(v), xyz, feats, new_xyz, 1.5, s, True, use_bn, False
             )

@@ -56,7 +56,8 @@ def report(trace_dir: str, top: int = 30, name_len: int = 60, iters: int = 5):
 
 
 
-def report_by_source(trace_dir: str, hlo_text: str, top: int = 25, iters: int = 5):
+def report_by_source(trace_dir: str, hlo_text: str, top: int = 25, iters: int = 5,
+                     depth: int = 3, prefix: str = ""):
     """Join device-op durations with the compiled HLO's metadata: aggregates
     trace time per op_name prefix (module path) / source line."""
     import re
@@ -82,9 +83,12 @@ def report_by_source(trace_dir: str, hlo_text: str, top: int = 25, iters: int = 
             if key is None:
                 unattributed += e["dur"] if e.get("pid") == 3 else 0
                 continue
-            # aggregate at the second path level (module scope)
+            # aggregate at a path level (module scope); paths start with the
+            # jit(...) wrapper, so match/print from parts[1:]
             parts = key.split("/")
-            scope = "/".join(parts[1:3]) if len(parts) > 2 else key
+            if prefix and not "/".join(parts[1:]).startswith(prefix):
+                continue
+            scope = "/".join(parts[1:depth]) if len(parts) >= depth else key
             agg[scope] += e["dur"]
     total = sum(agg.values())
     print(f"attributed {total / 1e3 / iters:.2f} ms/iter; "
