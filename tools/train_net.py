@@ -53,8 +53,10 @@ def main():
     from disprcnn_tpu.parallel.mesh import make_mesh
     from disprcnn_tpu.solver.build import frozen_path_prefixes, make_optimizer
     from disprcnn_tpu.solver.schedules import make_momentum_schedule, make_schedule
+    from disprcnn_tpu.parallel.multihost import is_main_process
     from disprcnn_tpu.utils.checkpoint import Checkpointer, load_stage_weights
     from disprcnn_tpu.utils.logging import MetricLogger, setup_logger
+    from disprcnn_tpu.utils.tb import SummaryWriter
 
     cfg = get_default_cfg()
     cfg.merge_from_file(args.config_file)
@@ -134,12 +136,28 @@ def main():
         return jax.device_put(convert(batch, train=True), data_sh)
 
     meters = MetricLogger()
+    # scalar observability parity with the reference's tensorboardX writer
+    # (engine/trainer.py:66-67,132-144): losses + lr + batch_time + uncert
+    tb = SummaryWriter(f"{cfg.OUTPUT_DIR}/tb") if is_main_process() else None
     t0 = time.perf_counter()
+    t_last = t0
     it = start_iter
     for it, batch in enumerate(loader, start=start_iter):
         state, metrics = jitted(state, to_device(batch), rng)
         if it % cfg.SOLVER.PRINT_INTERVAL == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
+            if tb is not None:
+                now = time.perf_counter()
+                scalars = dict(metrics)
+                scalars["lr"] = float(schedule(it))
+                scalars["batch_time"] = (now - t_last) / max(
+                    cfg.SOLVER.PRINT_INTERVAL, 1
+                )
+                t_last = now
+                if cfg.SOLVER.UNCERT_LOSS_WEIGHT:
+                    for i, u in enumerate(np.asarray(state.uncert)):
+                        scalars[f"uncert{i}"] = float(u)
+                tb.add_scalars(scalars, it)
             # NaN sentinel (reference keeps torch.autograd.set_detect_anomaly
             # permanently on, train_net.py:24; here a host-side loss check at
             # log cadence keeps the jitted step clean — set
@@ -162,6 +180,8 @@ def main():
         if it > start_iter and it % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
             ckpt.save(it, jax.device_get(state))
     ckpt.save(max(cfg.SOLVER.MAX_ITER, it + 1), jax.device_get(state))
+    if tb is not None:
+        tb.close()
     logger.info("training done")
 
 
