@@ -38,6 +38,7 @@ def main():
     run("stage3", ps3.main)
     run("pipeline", pp.main)
     run("bench", lambda: bench.main(pairs=ap.parse_args().pairs))
+    run("bench8", lambda: bench.main(pairs=8))
 
 
 if __name__ == "__main__":
