@@ -104,6 +104,8 @@ class GeneralizedRCNN(nn.Module):
     max_gt: int = 32
     mask_on: bool = False
     use_gn: bool = False
+    fbnet_scale_factor: float = 1.0
+    fbnet_width_divisor: int = 1
     dtype: Any = jnp.float32
 
     @property
