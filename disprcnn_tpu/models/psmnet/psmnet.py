@@ -46,14 +46,17 @@ class _WPackedKernelConv(nn.Module):
     features: int
     group: int
     dtype: Any = jnp.float32
+    in_features: int = 0  # required for raw=True (no input to infer Ci from)
 
     @nn.compact
-    def __call__(self, xp):
-        ci = xp.shape[-1] // self.group
+    def __call__(self, xp=None, raw: bool = False):
+        ci = self.in_features or xp.shape[-1] // self.group
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, ci, self.features), jnp.float32,
         )
+        if raw:
+            return kernel
         return conv2d_wpacked(
             xp.astype(self.dtype), kernel.astype(self.dtype), self.group
         )
@@ -69,27 +72,63 @@ class ConvBN(nn.Module):
     wpack: int = 0  # >0: input is W-packed with this group (2-D, k3 s1 only)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, relu: bool = False,
+                 residual=None):
+        """`relu`/`residual` fold the following activation / skip-add into
+        the module so the eval TPU W-packed path runs conv+BN+add+ReLU as
+        ONE Pallas kernel (ops/pallas/packed_conv.wpacked_conv_bn — same
+        HBM-window argument as the 3-D trunk kernel). The residual joins
+        before the ReLU. Semantics identical on the XLA path."""
         if self.wpack:
             assert self.dims == 2 and self.kernel == 3
             assert self.stride == 1 and self.dilation == 1
-            y = _WPackedKernelConv(
-                self.features, self.wpack, self.dtype, name="Conv_0"
-            )(x)
+            conv = _WPackedKernelConv(
+                self.features, self.wpack, self.dtype,
+                in_features=x.shape[-1] // self.wpack, name="Conv_0",
+            )
             # G-tiled BN (no rank-5 re-view: that re-tiles the lane axis and
             # XLA inserts a copy); stats identical to canonical BatchNorm
-            return _PackedBN(
+            bn = _PackedBN(
                 self.features, self.wpack, dtype=self.dtype, name="BatchNorm_0"
-            )(y, train)
-        k = (self.kernel,) * self.dims
-        pad = self.dilation * (self.kernel // 2)
-        x = nn.Conv(
-            self.features, k, strides=(self.stride,) * self.dims,
-            padding=[(pad, pad)] * self.dims,
-            kernel_dilation=(self.dilation,) * self.dims,
-            use_bias=False, dtype=self.dtype,
-        )(x)
-        return _bn(train, dtype=self.dtype)(x)
+            )
+            hw = x.shape[1] * x.shape[2]
+            use_pallas = (
+                not train
+                and jax.default_backend() == "tpu"
+                and not self.is_initializing()
+                and hw >= 1500  # same per-grid-step overhead gate as 3-D
+            )
+            if use_pallas:
+                from ...ops.conv3d_packed import pack_kernel_w
+                from ...ops.pallas.packed_conv import wpacked_conv_bn
+
+                kernel = conv(raw=True)
+                scale, bias, mean, var = bn(raw=True)
+                mul = scale * jax.lax.rsqrt(var + bn.epsilon)
+                add = bias - mean * mul
+                dt = self.dtype
+                return wpacked_conv_bn(
+                    x.astype(dt),
+                    pack_kernel_w(kernel.astype(dt), self.wpack),
+                    jnp.tile(mul, self.wpack), jnp.tile(add, self.wpack),
+                    self.wpack, relu=relu,
+                    residual=None if residual is None
+                    else residual.astype(dt),
+                )
+            y = bn(conv(x), train)
+        else:
+            k = (self.kernel,) * self.dims
+            pad = self.dilation * (self.kernel // 2)
+            y = nn.Conv(
+                self.features, k, strides=(self.stride,) * self.dims,
+                padding=[(pad, pad)] * self.dims,
+                kernel_dilation=(self.dilation,) * self.dims,
+                use_bias=False, dtype=self.dtype,
+            )(x)
+            y = _bn(train, dtype=self.dtype)(y)
+        if residual is not None:
+            y = y + residual.astype(y.dtype)
+        return nn.relu(y) if relu else y
 
 
 class BasicBlock(nn.Module):
@@ -104,19 +143,20 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.wpack:
             assert self.stride == 1 and self.dilation == 1 and not self.downsample
-        out = nn.relu(
-            ConvBN(self.planes, 3, self.stride, self.dilation, dtype=self.dtype,
-                   wpack=self.wpack)(x, train)
-        )
-        out = ConvBN(self.planes, 3, 1, self.dilation, dtype=self.dtype,
-                     wpack=self.wpack)(out, train)
+        out = ConvBN(self.planes, 3, self.stride, self.dilation,
+                     dtype=self.dtype, wpack=self.wpack)(x, train, relu=True)
         if self.downsample:
-            x = nn.Conv(
+            sc = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride,) * 2, use_bias=False,
                 dtype=self.dtype,
             )(x)
-            x = _bn(train, dtype=self.dtype)(x)
-        return out + x
+            sc = _bn(train, dtype=self.dtype)(sc)
+        else:
+            sc = x
+        # conv2 + BN + skip-add fused (no final activation in the PSMNet
+        # BasicBlock, submodule.py:40-57)
+        return ConvBN(self.planes, 3, 1, self.dilation, dtype=self.dtype,
+                      wpack=self.wpack)(out, train, residual=sc)
 
 
 class FeatureExtraction(nn.Module):
@@ -134,8 +174,10 @@ class FeatureExtraction(nn.Module):
         wp = 4 if x.shape[2] % 4 == 0 else 0
         if wp:
             x = wpack(x, wp)
-        x = nn.relu(ConvBN(32, 3, 1, dtype=self.dtype, wpack=wp, name="ConvBN_1")(x, train))
-        x = nn.relu(ConvBN(32, 3, 1, dtype=self.dtype, wpack=wp, name="ConvBN_2")(x, train))
+        x = ConvBN(32, 3, 1, dtype=self.dtype, wpack=wp, name="ConvBN_1")(
+            x, train, relu=True)
+        x = ConvBN(32, 3, 1, dtype=self.dtype, wpack=wp, name="ConvBN_2")(
+            x, train, relu=True)
 
         def layer(x, planes, blocks, stride, dilation, wpk=0, wpk_rest=0):
             ch = x.shape[-1] // (wpk or 1)

@@ -34,6 +34,98 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _kernel_w(g, ci, relu, has_res, *refs):
+    """W-packed 2-D sibling of _kernel: the halo travels along the packed-W
+    axis INSIDE the block (previous/next W-group of the same image), so no
+    neighbour-row BlockSpecs are needed — one input block per grid step."""
+    if has_res:
+        x, w3, mul, add, res, out, win = refs
+    else:
+        x, w3, mul, add, out, win = refs
+        res = None
+    h, wg = x.shape[1], x.shape[2]
+    winc = (g + 2) * ci
+    co = w3.shape[-1]
+
+    # window channels [prev group's last slice | G slices | next group's
+    # first slice] — matches pack_kernel_w's banded row order (kw-major)
+    win[1 : h + 1, :, ci : ci + g * ci] = x[0]
+    zcol = jnp.zeros((h, 1, ci), x.dtype)
+    win[1 : h + 1, 1:, :ci] = x[0, :, : wg - 1, g * ci - ci :]
+    win[1 : h + 1, 0:1, :ci] = zcol
+    win[1 : h + 1, : wg - 1, (g + 1) * ci :] = x[0, :, 1:, :ci]
+    win[1 : h + 1, wg - 1 : wg, (g + 1) * ci :] = zcol
+    zrow = jnp.zeros((1, wg, winc), x.dtype)
+    win[0:1] = zrow  # kh halo rows (SAME padding)
+    win[h + 1 : h + 2] = zrow
+
+    acc = jnp.zeros((h * wg, co), jnp.float32)
+    for dh in range(3):
+        a = win[dh : dh + h].reshape(h * wg, winc)
+        acc = acc + jnp.dot(a, w3[dh], preferred_element_type=jnp.float32)
+
+    y = acc * mul[0] + add[0]
+    if res is not None:
+        # residual joins AFTER the BN affine, before any ReLU (BasicBlock's
+        # `out + x`; relu=False there — the block has no final activation)
+        y = y + res[...].reshape(h * wg, co).astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out[...] = y.reshape(1, h, wg, co).astype(out.dtype)
+
+
+@partial(jax.jit, static_argnames=("g", "relu", "interpret"))
+def wpacked_conv_bn(
+    x: jnp.ndarray,  # (N, H, Wg, G*Ci) W-packed (ops/conv3d_packed.wpack)
+    w2: jnp.ndarray,  # banded (3, 1, (G+2)Ci, G*Co) from pack_kernel_w
+    mul: jnp.ndarray,  # (G*Co,) folded BN scale (f32)
+    add: jnp.ndarray,  # (G*Co,) folded BN shift (f32)
+    g: int,
+    relu: bool = False,
+    residual: jnp.ndarray | None = None,  # (N, H, Wg, G*Co), added pre-ReLU
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused window-build + banded conv + BN (+residual/ReLU) for the
+    PSMNet feature tower's W-packed 3x3 stride-1 convs. Identical arithmetic
+    graph to conv2d_wpacked + _PackedBN (f32 accumulation both ways); the
+    halo window never touches HBM."""
+    n, h, wg, gci = x.shape
+    ci = gci // g
+    winc = (g + 2) * ci
+    co = w2.shape[-1]
+    w3 = w2.reshape(3, winc, co)
+    mul2 = mul.reshape(1, co).astype(jnp.float32)
+    add2 = add.reshape(1, co).astype(jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((1, h, wg, gci), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, winc, co), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, w3, mul2, add2]
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((1, h, wg, co), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(residual)
+
+    return pl.pallas_call(
+        partial(_kernel_w, g, ci, relu, residual is not None),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, wg, co), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, wg, co), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, wg, winc), x.dtype),
+        ],
+        interpret=interpret,
+    )(*args)
+
+
 def _kernel(dg, g, ci, relu, has_res, *refs):
     if has_res:
         xc, xp, xn, w3, mul, add, res, out, win3 = refs

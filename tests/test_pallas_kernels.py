@@ -164,3 +164,30 @@ def test_packed_conv_bn_interpret_matches_xla(rng):
         x4, w2, mul, add, DG, G, relu=True, residual=res, interpret=True)
     want2 = jnp.maximum(base + res, 0)  # residual joins pre-ReLU
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=1e-4, atol=1e-5)
+
+
+def test_wpacked_conv_bn_interpret_matches_xla(rng):
+    """wpacked_conv_bn (Pallas, interpret mode) vs conv2d_wpacked + BN
+    affine (+ReLU, +residual), including the W-edge halos of each image."""
+    from disprcnn_tpu.ops.conv3d_packed import (
+        conv2d_wpacked, pack_kernel_w, wpack,
+    )
+    from disprcnn_tpu.ops.pallas.packed_conv import wpacked_conv_bn
+
+    B, H, W, CI, CO, G = 2, 6, 16, 4, 4, 4
+    WG = W // G
+    x = jnp.asarray(rng.normal(size=(B, H, W, CI)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(3, 3, CI, CO)).astype(np.float32) * 0.2)
+    xp = wpack(x, G)
+    mul = jnp.asarray(rng.normal(size=G * CO).astype(np.float32) * 0.5 + 1.0)
+    add = jnp.asarray(rng.normal(size=G * CO).astype(np.float32) * 0.1)
+    res = jnp.asarray(rng.normal(size=(B, H, WG, G * CO)).astype(np.float32))
+
+    base = conv2d_wpacked(xp, kern, G) * mul + add
+    w2 = pack_kernel_w(kern, G)
+    got = wpacked_conv_bn(xp, w2, mul, add, G, relu=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), rtol=1e-4, atol=1e-5)
+    got2 = wpacked_conv_bn(
+        xp, w2, mul, add, G, relu=True, residual=res, interpret=True)
+    want2 = jnp.maximum(base + res, 0)  # residual joins pre-ReLU
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=1e-4, atol=1e-5)
