@@ -460,7 +460,10 @@ class PackedConvBN3d(nn.Module):
 
     @nn.compact
     def __call__(self, x4, train: bool = False, relu: bool = False,
-                 residual=None):
+                 residual=None, out_repack: bool = False):
+        """out_repack=True returns (B, H, W, Dg, G*Co) — the classif heads'
+        depth-major layout — written directly by the Pallas kernel's output
+        BlockSpec instead of a separate full-volume transpose."""
         split = isinstance(x4, (tuple, list))
         ci_total = (
             sum(v.shape[-1] for v in x4) if split else x4.shape[-1]
@@ -474,15 +477,21 @@ class PackedConvBN3d(nn.Module):
             self.features, g_out, dtype=self.dtype, name="BatchNorm_0"
         )
         hw = (x4[0] if split else x4).shape[1] * (x4[0] if split else x4).shape[2]
+        n_rows = (x4[0] if split else x4).shape[0]
+        # below ~1500 spatial positions/grid-step the kernel's per-step
+        # overhead dominates (hourglass half-res convs regressed
+        # 1.55 -> 2.76 ms before this gate); multi-row steps restore the
+        # amortization at small H*W instead of falling back to XLA's
+        # HBM-windowed form
+        rows = 1
+        while hw * rows < 1500 and n_rows % (rows * 2) == 0 and rows < 8:
+            rows *= 2
         use_pallas = (
             not train
             and self.stride == 1
             and jax.default_backend() == "tpu"
             and not self.is_initializing()
-            # below ~1500 spatial positions/row the kernel's per-grid-step
-            # overhead dominates (hourglass half-res convs regressed
-            # 1.55 -> 2.76 ms before this gate); XLA wins there
-            and hw >= 1500
+            and hw * rows >= 1500
         )
         if use_pallas:
             from ...ops.conv3d_packed import pack_kernel
@@ -506,18 +515,20 @@ class PackedConvBN3d(nn.Module):
                     xa.astype(dt),
                     pack_kernel(kernel[:, :, :, :cia, :].astype(dt), self.group),
                     mul_t, jnp.zeros_like(add_t), self.dg, self.group,
-                    relu=False,
+                    relu=False, rows=rows,
                 )
                 return packed_conv_bn(
                     xb.astype(dt),
                     pack_kernel(kernel[:, :, :, cia:, :].astype(dt), self.group),
                     mul_t, add_t, self.dg, self.group, relu=relu, residual=ya,
+                    rows=rows,
                 )
             return packed_conv_bn(
                 x4.astype(dt),
                 pack_kernel(kernel.astype(dt), self.group),
                 mul_t, add_t, self.dg, self.group, relu=relu,
                 residual=None if residual is None else residual.astype(dt),
+                rows=1 if out_repack else rows, out_repack=out_repack,
             )
         if split:
             # interleave channel halves back to slice-major [a_ci | b_ci]
@@ -528,7 +539,11 @@ class PackedConvBN3d(nn.Module):
         y = bn(y, train)
         if residual is not None:
             y = y + residual.astype(y.dtype)
-        return nn.relu(y) if relu else y
+        y = nn.relu(y) if relu else y
+        if out_repack:
+            n, h, w = y.shape[:3]
+            y = y.reshape(n // self.dg, self.dg, h, w, -1).transpose(0, 2, 3, 1, 4)
+        return y
 
 
 class Hourglass(nn.Module):
@@ -690,11 +705,12 @@ class PSMNet(nn.Module):
         h4, w4 = lf.shape[1], lf.shape[2]
 
         def classif(zp, name):
-            zp = pc(32, name=f"{name}_0")(zp, train, relu=True)
             # Co=1: repack to G=D so the final conv has D output lanes
-            # instead of 1 (slice-major channel order kept: (dg, g, c))
-            zc = zp.reshape(b, dg, h4, w4, G * 32)
-            zc = zc.transpose(0, 2, 3, 1, 4).reshape(b, h4, w4, d4 * 32)
+            # instead of 1 (slice-major channel order kept: (dg, g, c)).
+            # out_repack writes the depth-major layout straight from the
+            # conv kernel — no separate full-volume transpose.
+            zc = pc(32, name=f"{name}_0")(zp, train, relu=True, out_repack=True)
+            zc = zc.reshape(b, h4, w4, d4 * 32)
             out = _PackedKernelConv(
                 1, d4, 1, dtype=self.dtype, name=f"{name}_1"
             )(zc)

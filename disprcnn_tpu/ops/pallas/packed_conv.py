@@ -126,56 +126,64 @@ def wpacked_conv_bn(
     )(*args)
 
 
-def _kernel(dg, g, ci, relu, has_res, *refs):
+def _kernel(dg, g, ci, relu, has_res, rows, *refs):
     if has_res:
         xc, xp, xn, w3, mul, add, res, out, win3 = refs
     else:
         xc, xp, xn, w3, mul, add, out, win3 = refs
         res = None
     n = pl.program_id(0)
-    gi = n % dg
     h, w = xc.shape[1], xc.shape[2]
     winc = (g + 2) * ci
     co = w3.shape[-1]
 
-    # --- center W-tap block: [prev last slice | G slices | next first slice]
-    # (xp/xn are FULL neighbour rows — Mosaic requires full-channel blocks —
-    # sliced to the halo Ci here)
-    prev = jnp.where(gi == 0, jnp.zeros((), xc.dtype), xp[0, :, :, g * ci - ci :])
-    nxt = jnp.where(gi == dg - 1, jnp.zeros((), xc.dtype), xn[0, :, :, :ci])
+    # --- per row: center W-tap block [prev last slice | G slices | next
+    # first slice]. The depth halo of row j comes from within the block
+    # (rows j-1 / j+1) except at the block edges, where xp/xn supply the
+    # neighbouring block's edge row (full-channel blocks — Mosaic requires
+    # whole or 128-divisible minor dims — sliced to the halo Ci here).
+    # gi = global row % dg detects image boundaries (images stack along N),
+    # which works even when a block straddles one.
     c0 = winc  # channel offset of the dw=1 (centered) block
-    win3[1 : h + 1, :, c0 : c0 + ci] = prev
-    win3[1 : h + 1, :, c0 + ci : c0 + ci + g * ci] = xc[0]
-    win3[1 : h + 1, :, c0 + (g + 1) * ci : c0 + winc] = nxt
-    zrow = jnp.zeros((1, w, winc), xc.dtype)
-    win3[0:1, :, c0 : 2 * winc] = zrow  # kh halo rows (SAME padding)
-    win3[h + 1 : h + 2, :, c0 : 2 * winc] = zrow
+    for j in range(rows):
+        gi = (n * rows + j) % dg
+        prev_src = (xp[rows - 1] if j == 0 else xc[j - 1])[:, :, g * ci - ci :]
+        nxt_src = (xn[0] if j == rows - 1 else xc[j + 1])[:, :, :ci]
+        prev = jnp.where(gi == 0, jnp.zeros((), xc.dtype), prev_src)
+        nxt = jnp.where(gi == dg - 1, jnp.zeros((), xc.dtype), nxt_src)
+        win3[j, 1 : h + 1, :, c0 : c0 + ci] = prev
+        win3[j, 1 : h + 1, :, c0 + ci : c0 + ci + g * ci] = xc[j]
+        win3[j, 1 : h + 1, :, c0 + (g + 1) * ci : c0 + winc] = nxt
+    zrow = jnp.zeros((rows, 1, w, winc), xc.dtype)
+    win3[:, 0:1, :, c0 : 2 * winc] = zrow  # kh halo rows (SAME padding)
+    win3[:, h + 1 : h + 2, :, c0 : 2 * winc] = zrow
 
     # --- W taps into channels: [w-1 | w | w+1], zero at W edges
-    wfull = win3[:, :, c0 : 2 * winc]
-    zcol = jnp.zeros((h + 2, 1, winc), xc.dtype)
-    win3[:, 1:, :winc] = wfull[:, : w - 1, :]
-    win3[:, 0:1, :winc] = zcol
-    win3[:, : w - 1, 2 * winc :] = wfull[:, 1:, :]
-    win3[:, w - 1 : w, 2 * winc :] = zcol
+    wfull = win3[:, :, :, c0 : 2 * winc]
+    zcol = jnp.zeros((rows, h + 2, 1, winc), xc.dtype)
+    win3[:, :, 1:, :winc] = wfull[:, :, : w - 1, :]
+    win3[:, :, 0:1, :winc] = zcol
+    win3[:, :, : w - 1, 2 * winc :] = wfull[:, :, 1:, :]
+    win3[:, :, w - 1 : w, 2 * winc :] = zcol
 
     # --- 3 kh-tap matmuls, f32 accumulation
-    acc = jnp.zeros((h * w, co), jnp.float32)
+    acc = jnp.zeros((rows * h * w, co), jnp.float32)
     for dh in range(3):
-        a = win3[dh : dh + h].reshape(h * w, 3 * winc)
+        a = win3[:, dh : dh + h].reshape(rows * h * w, 3 * winc)
         acc = acc + jnp.dot(a, w3[dh], preferred_element_type=jnp.float32)
 
     y = acc * mul[0] + add[0]
     if res is not None:
         # residual joins BEFORE the ReLU: covers both the hourglass skip
         # (relu(conv_bn + postsqu)) and the plain dres1_1 + x (relu=False)
-        y = y + res[...].reshape(h * w, co).astype(jnp.float32)
+        y = y + res[...].reshape(rows * h * w, co).astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
-    out[...] = y.reshape(1, h, w, co).astype(out.dtype)
+    out[...] = y.reshape(out.shape).astype(out.dtype)
 
 
-@partial(jax.jit, static_argnames=("dg", "g", "relu", "interpret"))
+@partial(jax.jit,
+         static_argnames=("dg", "g", "relu", "rows", "out_repack", "interpret"))
 def packed_conv_bn(
     x4: jnp.ndarray,  # (N, H, W, G*Ci) bf16
     w2: jnp.ndarray,  # banded (3, 3, (G+2)Ci, G*Co) from pack_kernel
@@ -185,9 +193,16 @@ def packed_conv_bn(
     g: int,
     relu: bool = True,
     residual: jnp.ndarray | None = None,  # (N, H, W, G*Co), added pre-ReLU
+    rows: int = 1,  # N rows per grid step (must divide N): amortizes the
+    # per-step overhead at small H*W (hourglass half/quarter res)
+    out_repack: bool = False,  # write (B, H, W, Dg, G*Co) (N = B*Dg split,
+    # Dg moved before channels) — the classif heads' depth-major repack for
+    # free, instead of a separate full-volume transpose (requires rows=1)
     interpret: bool = False,
 ) -> jnp.ndarray:
     n, h, w, gci = x4.shape
+    assert n % rows == 0, (n, rows)
+    assert not (out_repack and rows != 1), "out_repack requires rows=1"
     ci = gci // g
     winc = (g + 2) * ci
     co = w2.shape[-1]
@@ -196,17 +211,17 @@ def packed_conv_bn(
     add2 = add.reshape(1, co).astype(jnp.float32)
 
     in_specs = [
-        pl.BlockSpec((1, h, w, gci), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((rows, h, w, gci), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        # previous / next N rows for the depth halo (full-channel blocks —
-        # Mosaic requires the last dims be whole or 128-divisible — sliced
-        # to the edge Ci inside the kernel; clamped at the array edge and
-        # zeroed there via the gi test)
-        pl.BlockSpec((1, h, w, gci),
+        # previous / next N blocks for the depth halo at block edges
+        # (full-channel blocks — Mosaic requires the last dims be whole or
+        # 128-divisible — sliced to the edge Ci inside the kernel; clamped
+        # at the array edge and zeroed there via the gi test)
+        pl.BlockSpec((rows, h, w, gci),
                      lambda i: (jnp.maximum(i - 1, 0), 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, h, w, gci),
-                     lambda i: (jnp.minimum(i + 1, n - 1), 0, 0, 0),
+        pl.BlockSpec((rows, h, w, gci),
+                     lambda i: (jnp.minimum(i + 1, n // rows - 1), 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, 3 * winc, co), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -216,19 +231,27 @@ def packed_conv_bn(
     args = [x4, x4, x4, w3, mul2, add2]
     if residual is not None:
         in_specs.append(
-            pl.BlockSpec((1, h, w, co), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((rows, h, w, co), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM))
         args.append(residual)
 
+    if out_repack:
+        out_specs = pl.BlockSpec(
+            (1, h, w, 1, co), lambda i: (i // dg, 0, 0, i % dg, 0),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n // dg, h, w, dg, co), x4.dtype)
+    else:
+        out_specs = pl.BlockSpec((rows, h, w, co), lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, h, w, co), x4.dtype)
     return pl.pallas_call(
-        partial(_kernel, dg, g, ci, relu, residual is not None),
-        grid=(n,),
+        partial(_kernel, dg, g, ci, relu, residual is not None, rows),
+        grid=(n // rows,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, h, w, co), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, co), x4.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((h + 2, w, 3 * winc), x4.dtype),
+            pltpu.VMEM((rows, h + 2, w, 3 * winc), x4.dtype),
         ],
         # the residual variant's working set peaks at ~16.3 MB (3 full-row
         # input blocks + residual, double-buffered, + the win3 scratch) —

@@ -191,3 +191,53 @@ def test_wpacked_conv_bn_interpret_matches_xla(rng):
         xp, w2, mul, add, G, relu=True, residual=res, interpret=True)
     want2 = jnp.maximum(base + res, 0)  # residual joins pre-ReLU
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=1e-4, atol=1e-5)
+
+
+def test_packed_conv_bn_multirow_matches_single(rng):
+    """rows>1 grid steps must match rows=1 exactly, including depth halos
+    that cross block edges and image boundaries inside a block (B=3, DG=2,
+    rows=2: blocks straddle images)."""
+    from disprcnn_tpu.ops.conv3d_packed import pack_depth, pack_kernel
+    from disprcnn_tpu.ops.pallas.packed_conv import packed_conv_bn
+
+    B, D, H, W, CI, CO, G = 3, 8, 4, 6, 4, 4, 4
+    DG = D // G
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, CI)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(3, 3, 3, CI, CO)).astype(np.float32) * 0.2)
+    x4 = pack_depth(x, G).reshape(B * DG, H, W, G * CI)
+    mul = jnp.asarray(rng.normal(size=G * CO).astype(np.float32) * 0.5 + 1.0)
+    add = jnp.asarray(rng.normal(size=G * CO).astype(np.float32) * 0.1)
+    res = jnp.asarray(rng.normal(size=(B * DG, H, W, G * CO)).astype(np.float32))
+    w2 = pack_kernel(kern, G)
+
+    base = packed_conv_bn(x4, w2, mul, add, DG, G, relu=True, residual=res,
+                          interpret=True)  # rows=1 (already oracle-tested)
+    for rows in (2, 3, 6):
+        got = packed_conv_bn(x4, w2, mul, add, DG, G, relu=True, residual=res,
+                             rows=rows, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base), rtol=1e-5, atol=1e-6,
+            err_msg=f"rows={rows}")
+
+
+def test_packed_conv_bn_out_repack(rng):
+    """out_repack=True must equal the rows=1 output reshaped/transposed to
+    the classif heads' depth-major (B, H, W, Dg, G*Co) layout."""
+    from disprcnn_tpu.ops.conv3d_packed import pack_depth, pack_kernel
+    from disprcnn_tpu.ops.pallas.packed_conv import packed_conv_bn
+
+    B, D, H, W, CI, CO, G = 2, 8, 4, 6, 4, 4, 4
+    DG = D // G
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, CI)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(3, 3, 3, CI, CO)).astype(np.float32) * 0.2)
+    x4 = pack_depth(x, G).reshape(B * DG, H, W, G * CI)
+    mul = jnp.asarray(rng.normal(size=G * CO).astype(np.float32) * 0.5 + 1.0)
+    add = jnp.asarray(rng.normal(size=G * CO).astype(np.float32) * 0.1)
+    w2 = pack_kernel(kern, G)
+
+    base = packed_conv_bn(x4, w2, mul, add, DG, G, relu=True, interpret=True)
+    want = base.reshape(B, DG, H, W, G * CO).transpose(0, 2, 3, 1, 4)
+    got = packed_conv_bn(x4, w2, mul, add, DG, G, relu=True, out_repack=True,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
