@@ -22,6 +22,25 @@ def main():
     ap.add_argument("--wait", type=float, default=90.0)
     wait = ap.parse_args().wait
 
+    # Relay-port liveness first, without creating a jax client: when the
+    # host-side tunnel is down the ports REFUSE, and a jax attach would
+    # connect-retry forever instead of failing (CLAUDE.md).
+    import socket
+
+    for port in (8083, 8082):
+        s = socket.socket()
+        s.settimeout(3)
+        try:
+            s.connect(("127.0.0.1", port))
+            s.close()
+            break
+        except OSError:
+            s.close()
+    else:
+        print("TPU RELAY DOWN (8082/8083 refused; host tunnel absent)",
+              flush=True)
+        os._exit(3)
+
     state = {"ok": False, "err": None}
 
     def attach():
