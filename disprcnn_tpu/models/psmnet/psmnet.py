@@ -379,14 +379,17 @@ class _PackedDeconv(nn.Module):
     group: int
     dg: int
     dtype: Any = jnp.float32
+    in_features: Optional[int] = None  # needed only for raw=True
 
     @nn.compact
-    def __call__(self, x4):
-        ci = x4.shape[-1] // self.group
+    def __call__(self, x4=None, raw: bool = False):
+        ci = self.in_features if x4 is None else x4.shape[-1] // self.group
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, 3, ci, self.features), jnp.float32,
         )
+        if raw:
+            return kernel
         return conv3d_packed_transposed_r4(
             x4.astype(self.dtype), kernel.astype(self.dtype), self.group, self.dg
         )
@@ -478,32 +481,43 @@ class PackedConvBN3d(nn.Module):
         )
         hw = (x4[0] if split else x4).shape[1] * (x4[0] if split else x4).shape[2]
         n_rows = (x4[0] if split else x4).shape[0]
-        # below ~1500 spatial positions/grid-step the kernel's per-step
-        # overhead dominates (hourglass half-res convs regressed
-        # 1.55 -> 2.76 ms before this gate); multi-row steps restore the
-        # amortization at small H*W instead of falling back to XLA's
-        # HBM-windowed form
+        # below ~1500 spatial positions (output side) per grid-step the
+        # kernel's per-step overhead dominates (hourglass half-res convs
+        # regressed 1.55 -> 2.76 ms before this gate); multi-row steps
+        # restore the amortization at small H*W instead of falling back to
+        # XLA's HBM-windowed form
+        eff = hw // (self.stride * self.stride)
         rows = 1
-        while hw * rows < 1500 and n_rows % (rows * 2) == 0 and rows < 8:
+        while eff * rows < 1500 and n_rows % (rows * 2) == 0 and rows < 8:
             rows *= 2
         use_pallas = (
             not train
-            and self.stride == 1
+            and self.stride in (1, 2)
             and jax.default_backend() == "tpu"
             and not self.is_initializing()
-            and hw * rows >= 1500
+            and eff * rows >= 1500
         )
         if use_pallas:
-            from ...ops.conv3d_packed import pack_kernel
-            from ...ops.pallas.packed_conv import packed_conv_bn
+            from ...ops.conv3d_packed import pack_kernel, pack_kernel_strided
+            from ...ops.pallas.packed_conv import (
+                packed_conv_bn, packed_conv_bn_s2,
+            )
 
             kernel = conv(raw=True)
             scale, bias, mean, var = bn(raw=True)
             mul = scale * jax.lax.rsqrt(var + bn.epsilon)
             add = bias - mean * mul
+            dt = self.dtype
+            if self.stride == 2:
+                assert not split and residual is None and not out_repack
+                return packed_conv_bn_s2(
+                    x4.astype(dt),
+                    pack_kernel_strided(kernel.astype(dt), self.group),
+                    jnp.tile(mul, g_out), jnp.tile(add, g_out),
+                    self.dg, self.group, relu=relu, rows=rows,
+                )
             mul_t = jnp.tile(mul, self.group)
             add_t = jnp.tile(add, self.group)
-            dt = self.dtype
             if split:
                 # conv(xa;Ka) + conv(xb;Kb): mul distributes over the sum,
                 # so fold mul into BOTH chained kernels and add/residual/relu
@@ -562,7 +576,11 @@ class Hourglass(nn.Module):
     packed_dg: int = 0
 
     @nn.compact
-    def __call__(self, x, presqu, postsqu, train: bool = False):
+    def __call__(self, x, presqu, postsqu, train: bool = False,
+                 final_residual=None):
+        """final_residual is added to the up2 output (the trunk's
+        `out_i + cost0p` skip) inside the fused deconv kernel on the eval
+        TPU path — the sum never materializes separately."""
         p2 = self.planes * 2
         if self.packed_group:
             g, dg = self.packed_group, self.packed_dg  # e.g. 4, D/4 at full res
@@ -579,11 +597,50 @@ class Hourglass(nn.Module):
             out = PackedConvBN3d(p2, gq, dg, 1, self.dtype, name="ConvBN_3")(
                 out, train, relu=True
             )
-            up1 = _PackedDeconv(p2, gq, dg, self.dtype, name="ConvTranspose_0")(out)
-            up1 = _PackedBN(p2, 2 * gq, dtype=self.dtype, name="BatchNorm_0")(up1, train)
-            post = nn.relu(up1 + (presqu if presqu is not None else pre))
-            up2 = _PackedDeconv(self.planes, g // 2, dg, self.dtype, name="ConvTranspose_1")(post)
-            up2 = _PackedBN(self.planes, g, dtype=self.dtype, name="BatchNorm_1")(up2, train)
+
+            def deconv_bn(v, feats, g_in, name_idx, relu, residual):
+                dc = _PackedDeconv(
+                    feats, g_in, dg, self.dtype,
+                    in_features=v.shape[-1] // g_in,
+                    name=f"ConvTranspose_{name_idx}",
+                )
+                bn = _PackedBN(
+                    feats, 2 * g_in, dtype=self.dtype,
+                    name=f"BatchNorm_{name_idx}",
+                )
+                hw = v.shape[1] * v.shape[2]
+                if (not train and jax.default_backend() == "tpu"
+                        and not self.is_initializing()):
+                    from ...ops.conv3d_packed import pack_kernel_transposed
+                    from ...ops.pallas.packed_conv import packed_deconv_bn
+
+                    kernel = dc(raw=True)
+                    scale, bias, mean, var = bn(raw=True)
+                    mul = scale * jax.lax.rsqrt(var + bn.epsilon)
+                    add = bias - mean * mul
+                    rows = 1
+                    n_rows = v.shape[0]
+                    while hw * rows < 1500 and n_rows % (rows * 2) == 0 and rows < 8:
+                        rows *= 2
+                    dt = self.dtype
+                    return packed_deconv_bn(
+                        v.astype(dt),
+                        pack_kernel_transposed(kernel.astype(dt), g_in),
+                        jnp.tile(mul, 2 * g_in), jnp.tile(add, 2 * g_in),
+                        dg, g_in, relu=relu,
+                        residual=None if residual is None
+                        else residual.astype(dt),
+                        rows=rows,
+                    )
+                y = bn(dc(v), train)
+                if residual is not None:
+                    y = y + residual.astype(y.dtype)
+                return nn.relu(y) if relu else y
+
+            post = deconv_bn(out, p2, gq, 0, True,
+                             presqu if presqu is not None else pre)
+            up2 = deconv_bn(post, self.planes, g // 2, 1, False,
+                            final_residual)
             return up2, pre, post
         out = nn.relu(ConvBN(p2, 3, 2, dims=3, dtype=self.dtype)(x, train))  # 1/8
         pre = ConvBN(p2, 3, 1, dims=3, dtype=self.dtype)(out, train)
@@ -608,6 +665,8 @@ class Hourglass(nn.Module):
             use_bias=False, dtype=self.dtype,
         )(post)
         up2 = _bn(train, dtype=self.dtype)(up2)
+        if final_residual is not None:
+            up2 = up2 + final_residual.astype(up2.dtype)
         return up2, pre, post
 
 
@@ -695,12 +754,14 @@ class PSMNet(nn.Module):
         cost0p = pc(32, name="dres1_1")(y, train, residual=x)
 
         hg = partial(Hourglass, 32, dtype=self.dtype, packed_group=G, packed_dg=dg)
-        out1, pre1, post1 = hg(name="dres2")(cost0p, None, None, train)
-        out1 = out1 + cost0p
-        out2, pre2, post2 = hg(name="dres3")(out1, pre1, post1, train)
-        out2 = out2 + cost0p
-        out3, pre3, post3 = hg(name="dres4")(out2, pre1, post2, train)
-        out3 = out3 + cost0p
+        # the `+ cost0p` trunk skips ride the up2 deconv kernels as fused
+        # residuals (stackhourglass.py:136-144 semantics, same adds)
+        out1, pre1, post1 = hg(name="dres2")(
+            cost0p, None, None, train, final_residual=cost0p)
+        out2, pre2, post2 = hg(name="dres3")(
+            out1, pre1, post1, train, final_residual=cost0p)
+        out3, pre3, post3 = hg(name="dres4")(
+            out2, pre1, post2, train, final_residual=cost0p)
 
         h4, w4 = lf.shape[1], lf.shape[2]
 

@@ -126,6 +126,227 @@ def wpacked_conv_bn(
     )(*args)
 
 
+def _kernel_s2(dg, g, ci, relu, rows, *refs):
+    """Stride-2 (pad-1) sibling: output (i, j) reads input rows/cols
+    2i-1+dh / 2j-1+dw. Even/odd splits of the loaded block are pure value
+    ops (VMEM relayouts), so the (G+1)Ci strided window never lands in HBM
+    (conv3d_packed_strided_r4 materializes it per conv)."""
+    x, xp, w3, mul, add, out, _ = refs
+    n = pl.program_id(0)
+    h, w = x.shape[1], x.shape[2]
+    h2, w2 = h // 2, w // 2
+    winc = (g + 1) * ci
+    co = w3.shape[-1]
+
+    outs = []
+    for j in range(rows):
+        gi = (n * rows + j) % dg
+        prev_src = (xp[rows - 1] if j == 0 else x[j - 1])[:, :, g * ci - ci :]
+        prev = jnp.where(gi == 0, jnp.zeros((), x.dtype), prev_src)
+        wd = jnp.concatenate([prev, x[j]], axis=-1)  # (h, w, (G+1)Ci)
+        vr = wd.reshape(h2, 2, w, winc)
+        xe, xo = vr[:, 0], vr[:, 1]
+        zrow = jnp.zeros((1, w, winc), x.dtype)
+        planes = (
+            jnp.concatenate([zrow, xo[:-1]], axis=0),  # dh=0: row 2i-1
+            xe,                                        # dh=1: row 2i
+            xo,                                        # dh=2: row 2i+1
+        )
+        acc = jnp.zeros((h2 * w2, co), jnp.float32)
+        zcol = jnp.zeros((h2, 1, winc), x.dtype)
+        for dh in range(3):
+            pr = planes[dh].reshape(h2, w2, 2, winc)
+            ce, codd = pr[:, :, 0], pr[:, :, 1]
+            wtap = jnp.concatenate(
+                [
+                    jnp.concatenate([zcol, codd[:, :-1]], axis=1),  # dw=0
+                    ce,                                             # dw=1
+                    codd,                                           # dw=2
+                ],
+                axis=-1,
+            )  # (h2, w2, 3*(G+1)Ci)
+            acc = acc + jnp.dot(
+                wtap.reshape(h2 * w2, 3 * winc), w3[dh],
+                preferred_element_type=jnp.float32,
+            )
+        y = acc * mul[0] + add[0]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        outs.append(y.reshape(h2, w2, co))
+    out[...] = jnp.stack(outs).astype(out.dtype)
+
+
+@partial(jax.jit, static_argnames=("dg", "g", "relu", "rows", "interpret"))
+def packed_conv_bn_s2(
+    x4: jnp.ndarray,  # (N, H, W, G*Ci) bf16
+    wp: jnp.ndarray,  # banded (3, 3, (G+1)Ci, (G/2)*Co) from pack_kernel_strided
+    mul: jnp.ndarray,  # ((G/2)*Co,) folded BN scale (f32)
+    add: jnp.ndarray,  # ((G/2)*Co,) folded BN shift (f32)
+    dg: int,
+    g: int,
+    relu: bool = True,
+    rows: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stride-2 pad-1 conv3d + BN (+ReLU) on a rank-4 depth-packed volume:
+    (N, H, W, G*Ci) -> (N, H/2, W/2, (G/2)*Co). Matches
+    conv3d_packed_strided_r4 + _PackedBN up to f32 accumulation order."""
+    n, h, w, gci = x4.shape
+    assert n % rows == 0, (n, rows)
+    ci = gci // g
+    winc = (g + 1) * ci
+    co = wp.shape[-1]
+    # per kh tap: dw-major band rows, matching the kernel's wtap layout
+    w3 = wp.reshape(3, 3 * winc, co)
+    mul2 = mul.reshape(1, co).astype(jnp.float32)
+    add2 = add.reshape(1, co).astype(jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((rows, h, w, gci), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, h, w, gci),
+                     lambda i: (jnp.maximum(i - 1, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3 * winc, co), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        partial(_kernel_s2, dg, g, ci, relu, rows),
+        grid=(n // rows,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows, h // 2, w // 2, co),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h // 2, w // 2, co), x4.dtype),
+        scratch_shapes=[pltpu.VMEM((8, 128), x4.dtype)],  # unused placeholder
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x4, x4, w3, mul2, add2)
+
+
+def _kernel_dc(dg, g, ci, relu, has_res, rows, *refs):
+    """ConvTranspose(k3, s2, p(1,2)) sibling. Per axis: out[2i] = K[1]@x[i],
+    out[2i+1] = K[0]@x[i] + K[2]@x[i+1] (pack_kernel_transposed's relation;
+    depth handled by its banding, H/W by 4 spatial-parity tiles interleaved
+    in VMEM on the output write — the subpixel interleave that measured
+    1.9 ms SLOWER as XLA stack/reshape copies is free here)."""
+    if has_res:
+        x, xn, wt, mul, add, res, out, _ = refs
+    else:
+        x, xn, wt, mul, add, out, _ = refs
+        res = None
+    n = pl.program_id(0)
+    h, w = x.shape[1], x.shape[2]
+    winc = (g + 1) * ci
+    co = wt.shape[-1]
+
+    wins = {"c": [], "r": [], "w": [], "rw": []}
+    for j in range(rows):
+        gi = (n * rows + j) % dg
+        nxt_src = (xn[0] if j == rows - 1 else x[j + 1])[:, :, :ci]
+        nxt = jnp.where(gi == dg - 1, jnp.zeros((), x.dtype), nxt_src)
+        wd = jnp.concatenate([x[j], nxt], axis=-1)  # (h, w, (G+1)Ci)
+        zr = jnp.zeros((1, w, winc), x.dtype)
+        zc = jnp.zeros((h, 1, winc), x.dtype)
+        wdr = jnp.concatenate([wd[1:], zr], axis=0)      # x[i+1]
+        wdc = jnp.concatenate([wd[:, 1:], zc], axis=1)   # x[:, j+1]
+        wdrc = jnp.concatenate([wdr[:, 1:], zc], axis=1)
+        wins["c"].append(wd)
+        wins["r"].append(wdr)
+        wins["w"].append(wdc)
+        wins["rw"].append(wdrc)
+    flat = {k: jnp.stack(v).reshape(rows * h * w, winc)
+            for k, v in wins.items()}
+
+    def dot(v, dh, dw):
+        return jnp.dot(v, wt[dh, dw], preferred_element_type=jnp.float32)
+
+    p00 = dot(flat["c"], 1, 1)
+    p01 = dot(flat["c"], 1, 0) + dot(flat["w"], 1, 2)
+    p10 = dot(flat["c"], 0, 1) + dot(flat["r"], 2, 1)
+    p11 = (dot(flat["c"], 0, 0) + dot(flat["w"], 0, 2)
+           + dot(flat["r"], 2, 0) + dot(flat["rw"], 2, 2))
+
+    def bn(v):
+        return v * mul[0] + add[0]
+
+    tile = jnp.stack(
+        [
+            jnp.stack([bn(p00), bn(p01)], axis=1),  # even out rows
+            jnp.stack([bn(p10), bn(p11)], axis=1),  # odd out rows
+        ],
+        axis=1,
+    )  # (rows*h*w, 2=py, 2=px, co)
+    y = tile.reshape(rows, h, w, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(rows, 2 * h, 2 * w, co)
+    if res is not None:
+        y = y + res[...].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out[...] = y.astype(out.dtype)
+
+
+@partial(jax.jit, static_argnames=("dg", "g", "relu", "rows", "interpret"))
+def packed_deconv_bn(
+    x4: jnp.ndarray,  # (N, H, W, G*Ci) bf16
+    wt: jnp.ndarray,  # banded (3, 3, (G+1)Ci, 2G*Co) from pack_kernel_transposed
+    mul: jnp.ndarray,  # (2G*Co,) folded BN scale (f32)
+    add: jnp.ndarray,  # (2G*Co,) folded BN shift (f32)
+    dg: int,
+    g: int,
+    relu: bool = False,
+    residual: jnp.ndarray | None = None,  # (N, 2H, 2W, 2G*Co), pre-ReLU
+    rows: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ConvTranspose3d(k3, s2, p(1,2)) + BN (+residual/ReLU) on a rank-4
+    depth-packed volume: (N, H, W, G*Ci) -> (N, 2H, 2W, 2G*Co). Matches
+    conv3d_packed_transposed_r4 + _PackedBN up to f32 accumulation order."""
+    n, h, w, gci = x4.shape
+    assert n % rows == 0, (n, rows)
+    ci = gci // g
+    co = wt.shape[-1]
+    mul2 = mul.reshape(1, co).astype(jnp.float32)
+    add2 = add.reshape(1, co).astype(jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((rows, h, w, gci), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, h, w, gci),
+                     lambda i: (jnp.minimum(i + 1, n // rows - 1), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(wt.shape, lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x4, x4, wt, mul2, add2]
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((rows, 2 * h, 2 * w, co), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(residual)
+
+    return pl.pallas_call(
+        partial(_kernel_dc, dg, g, ci, relu, residual is not None, rows),
+        grid=(n // rows,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows, 2 * h, 2 * w, co),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, co), x4.dtype),
+        scratch_shapes=[pltpu.VMEM((8, 128), x4.dtype)],  # unused placeholder
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def _kernel(dg, g, ci, relu, has_res, rows, *refs):
     if has_res:
         xc, xp, xn, w3, mul, add, res, out, win3 = refs

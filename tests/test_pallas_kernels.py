@@ -241,3 +241,66 @@ def test_packed_conv_bn_out_repack(rng):
                          interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_packed_conv_bn_s2_interpret_matches_xla(rng):
+    """packed_conv_bn_s2 (Pallas stride-2, interpret) vs
+    conv3d_packed_strided_r4 + BN affine (+ReLU), incl. depth halos across
+    image boundaries and multi-row blocks."""
+    from disprcnn_tpu.ops.conv3d_packed import (
+        conv3d_packed_strided_r4, pack_depth, pack_kernel_strided,
+    )
+    from disprcnn_tpu.ops.pallas.packed_conv import packed_conv_bn_s2
+
+    B, D, H, W, CI, CO, G = 2, 8, 8, 12, 4, 4, 4
+    DG = D // G
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, CI)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(3, 3, 3, CI, CO)).astype(np.float32) * 0.2)
+    x4 = pack_depth(x, G).reshape(B * DG, H, W, G * CI)
+    gco = (G // 2) * CO
+    mul = jnp.asarray(rng.normal(size=gco).astype(np.float32) * 0.5 + 1.0)
+    add = jnp.asarray(rng.normal(size=gco).astype(np.float32) * 0.1)
+
+    base = jnp.maximum(conv3d_packed_strided_r4(x4, kern, G, DG) * mul + add, 0)
+    wp = pack_kernel_strided(kern, G)
+    for rows in (1, 2, 4):
+        got = packed_conv_bn_s2(x4, wp, mul, add, DG, G, relu=True,
+                                rows=rows, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base), rtol=1e-4, atol=1e-5,
+            err_msg=f"rows={rows}")
+
+
+def test_packed_deconv_bn_interpret_matches_xla(rng):
+    """packed_deconv_bn (Pallas, interpret) vs conv3d_packed_transposed_r4 +
+    BN affine (+residual/ReLU), incl. the next-slice depth halo across image
+    boundaries and multi-row blocks."""
+    from disprcnn_tpu.ops.conv3d_packed import (
+        conv3d_packed_transposed_r4, pack_depth, pack_kernel_transposed,
+    )
+    from disprcnn_tpu.ops.pallas.packed_conv import packed_deconv_bn
+
+    B, D, H, W, CI, CO, G = 2, 8, 5, 7, 4, 4, 2
+    DG = D // G
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, CI)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(3, 3, 3, CI, CO)).astype(np.float32) * 0.2)
+    x4 = pack_depth(x, G).reshape(B * DG, H, W, G * CI)
+    co2 = 2 * G * CO
+    mul = jnp.asarray(rng.normal(size=co2).astype(np.float32) * 0.5 + 1.0)
+    add = jnp.asarray(rng.normal(size=co2).astype(np.float32) * 0.1)
+    res = jnp.asarray(
+        rng.normal(size=(B * DG, 2 * H, 2 * W, co2)).astype(np.float32))
+
+    base = conv3d_packed_transposed_r4(x4, kern, G, DG) * mul + add
+    wt = pack_kernel_transposed(kern, G)
+    for rows in (1, 2, 4):
+        got = packed_deconv_bn(x4, wt, mul, add, DG, G, relu=False,
+                               rows=rows, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base), rtol=1e-4, atol=1e-5,
+            err_msg=f"rows={rows}")
+    got2 = packed_deconv_bn(x4, wt, mul, add, DG, G, relu=True, residual=res,
+                            interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(jnp.maximum(base + res, 0)),
+        rtol=1e-4, atol=1e-5)
