@@ -519,23 +519,19 @@ class PackedConvBN3d(nn.Module):
             mul_t = jnp.tile(mul, self.group)
             add_t = jnp.tile(add, self.group)
             if split:
-                # conv(xa;Ka) + conv(xb;Kb): mul distributes over the sum,
-                # so fold mul into BOTH chained kernels and add/residual/relu
-                # into the last
+                # conv(xa;Ka) + conv(xb;Kb) + BN in ONE kernel pass (the
+                # chained two-kernel form round-tripped the first half's
+                # full volume through HBM as a residual)
                 assert residual is None, "split + residual not supported"
                 xa, xb = x4
                 cia = xa.shape[-1] // self.group
-                ya = packed_conv_bn(
-                    xa.astype(dt),
+                from ...ops.pallas.packed_conv import packed_conv_bn_pair
+
+                return packed_conv_bn_pair(
+                    xa.astype(dt), xb.astype(dt),
                     pack_kernel(kernel[:, :, :, :cia, :].astype(dt), self.group),
-                    mul_t, jnp.zeros_like(add_t), self.dg, self.group,
-                    relu=False, rows=rows,
-                )
-                return packed_conv_bn(
-                    xb.astype(dt),
                     pack_kernel(kernel[:, :, :, cia:, :].astype(dt), self.group),
-                    mul_t, add_t, self.dg, self.group, relu=relu, residual=ya,
-                    rows=rows,
+                    mul_t, add_t, self.dg, self.group, relu=relu, rows=rows,
                 )
             return packed_conv_bn(
                 x4.astype(dt),

@@ -347,51 +347,55 @@ def packed_deconv_bn(
     )(*args)
 
 
-def _kernel(dg, g, ci, relu, has_res, rows, *refs):
-    if has_res:
-        xc, xp, xn, w3, mul, add, res, out, win3 = refs
-    else:
-        xc, xp, xn, w3, mul, add, out, win3 = refs
-        res = None
+def _kernel(dg, g, ci, relu, has_res, rows, halves, *refs):
+    xs = refs[: 3 * halves]  # (xc, xp, xn) per input half
+    ws = refs[3 * halves : 4 * halves]
+    mul, add = refs[4 * halves : 4 * halves + 2]
+    idx = 4 * halves + 2
+    res = refs[idx] if has_res else None
+    out = refs[idx + (1 if has_res else 0)]
+    win3 = refs[-1]
     n = pl.program_id(0)
-    h, w = xc.shape[1], xc.shape[2]
+    h, w = xs[0].shape[1], xs[0].shape[2]
     winc = (g + 2) * ci
-    co = w3.shape[-1]
+    co = ws[0].shape[-1]
 
-    # --- per row: center W-tap block [prev last slice | G slices | next
-    # first slice]. The depth halo of row j comes from within the block
-    # (rows j-1 / j+1) except at the block edges, where xp/xn supply the
-    # neighbouring block's edge row (full-channel blocks — Mosaic requires
-    # whole or 128-divisible minor dims — sliced to the halo Ci here).
-    # gi = global row % dg detects image boundaries (images stack along N),
-    # which works even when a block straddles one.
-    c0 = winc  # channel offset of the dw=1 (centered) block
-    for j in range(rows):
-        gi = (n * rows + j) % dg
-        prev_src = (xp[rows - 1] if j == 0 else xc[j - 1])[:, :, g * ci - ci :]
-        nxt_src = (xn[0] if j == rows - 1 else xc[j + 1])[:, :, :ci]
-        prev = jnp.where(gi == 0, jnp.zeros((), xc.dtype), prev_src)
-        nxt = jnp.where(gi == dg - 1, jnp.zeros((), xc.dtype), nxt_src)
-        win3[j, 1 : h + 1, :, c0 : c0 + ci] = prev
-        win3[j, 1 : h + 1, :, c0 + ci : c0 + ci + g * ci] = xc[j]
-        win3[j, 1 : h + 1, :, c0 + (g + 1) * ci : c0 + winc] = nxt
-    zrow = jnp.zeros((rows, 1, w, winc), xc.dtype)
-    win3[:, 0:1, :, c0 : 2 * winc] = zrow  # kh halo rows (SAME padding)
-    win3[:, h + 1 : h + 2, :, c0 : 2 * winc] = zrow
-
-    # --- W taps into channels: [w-1 | w | w+1], zero at W edges
-    wfull = win3[:, :, :, c0 : 2 * winc]
-    zcol = jnp.zeros((rows, h + 2, 1, winc), xc.dtype)
-    win3[:, :, 1:, :winc] = wfull[:, :, : w - 1, :]
-    win3[:, :, 0:1, :winc] = zcol
-    win3[:, :, : w - 1, 2 * winc :] = wfull[:, :, 1:, :]
-    win3[:, :, w - 1 : w, 2 * winc :] = zcol
-
-    # --- 3 kh-tap matmuls, f32 accumulation
     acc = jnp.zeros((rows * h * w, co), jnp.float32)
-    for dh in range(3):
-        a = win3[:, dh : dh + h].reshape(rows * h * w, 3 * winc)
-        acc = acc + jnp.dot(a, w3[dh], preferred_element_type=jnp.float32)
+    for hf in range(halves):
+        xc, xp, xn = xs[3 * hf : 3 * hf + 3]
+        w3 = ws[hf]
+        # --- per row: center W-tap block [prev last slice | G slices | next
+        # first slice]. The depth halo of row j comes from within the block
+        # (rows j-1 / j+1) except at the block edges, where xp/xn supply the
+        # neighbouring block's edge row (full-channel blocks — Mosaic
+        # requires whole or 128-divisible minor dims — sliced to the halo Ci
+        # here). gi = global row % dg detects image boundaries (images stack
+        # along N), which works even when a block straddles one.
+        c0 = winc  # channel offset of the dw=1 (centered) block
+        for j in range(rows):
+            gi = (n * rows + j) % dg
+            prev_src = (xp[rows - 1] if j == 0 else xc[j - 1])[:, :, g * ci - ci :]
+            nxt_src = (xn[0] if j == rows - 1 else xc[j + 1])[:, :, :ci]
+            prev = jnp.where(gi == 0, jnp.zeros((), xc.dtype), prev_src)
+            nxt = jnp.where(gi == dg - 1, jnp.zeros((), xc.dtype), nxt_src)
+            win3[j, 1 : h + 1, :, c0 : c0 + ci] = prev
+            win3[j, 1 : h + 1, :, c0 + ci : c0 + ci + g * ci] = xc[j]
+            win3[j, 1 : h + 1, :, c0 + (g + 1) * ci : c0 + winc] = nxt
+        zrow = jnp.zeros((rows, 1, w, winc), xc.dtype)
+        win3[:, 0:1, :, c0 : 2 * winc] = zrow  # kh halo rows (SAME padding)
+        win3[:, h + 1 : h + 2, :, c0 : 2 * winc] = zrow
+
+        # --- W taps into channels: [w-1 | w | w+1], zero at W edges
+        wfull = win3[:, :, :, c0 : 2 * winc]
+        zcol = jnp.zeros((rows, h + 2, 1, winc), xc.dtype)
+        win3[:, :, 1:, :winc] = wfull[:, :, : w - 1, :]
+        win3[:, :, 0:1, :winc] = zcol
+        win3[:, :, : w - 1, 2 * winc :] = wfull[:, :, 1:, :]
+        win3[:, :, w - 1 : w, 2 * winc :] = zcol
+
+        for dh in range(3):
+            a = win3[:, dh : dh + h].reshape(rows * h * w, 3 * winc)
+            acc = acc + jnp.dot(a, w3[dh], preferred_element_type=jnp.float32)
 
     y = acc * mul[0] + add[0]
     if res is not None:
@@ -421,35 +425,72 @@ def packed_conv_bn(
     # free, instead of a separate full-volume transpose (requires rows=1)
     interpret: bool = False,
 ) -> jnp.ndarray:
-    n, h, w, gci = x4.shape
+    return _conv_call((x4,), (w2,), mul, add, dg, g, relu, residual, rows,
+                      out_repack, interpret)
+
+
+@partial(jax.jit,
+         static_argnames=("dg", "g", "relu", "rows", "out_repack", "interpret"))
+def packed_conv_bn_pair(
+    xa: jnp.ndarray,  # (N, H, W, G*Ci) bf16 — first channel half
+    xb: jnp.ndarray,  # second half (e.g. the cost volume's shifted right)
+    w2a: jnp.ndarray,  # banded weights for each half (pack_kernel of the
+    w2b: jnp.ndarray,  # corresponding Ci slice of the full kernel)
+    mul: jnp.ndarray,
+    add: jnp.ndarray,
+    dg: int,
+    g: int,
+    relu: bool = True,
+    residual: jnp.ndarray | None = None,
+    rows: int = 1,
+    out_repack: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """conv(xa; Ka) + conv(xb; Kb) + BN (+residual/ReLU) in ONE kernel pass:
+    the chained two-kernel form materializes the first half's result in HBM
+    (read+write of a full volume) purely to feed it back as a residual."""
+    return _conv_call((xa, xb), (w2a, w2b), mul, add, dg, g, relu, residual,
+                      rows, out_repack, interpret)
+
+
+def _conv_call(xs, w2s, mul, add, dg, g, relu, residual, rows, out_repack,
+               interpret):
+    n, h, w, gci = xs[0].shape
     assert n % rows == 0, (n, rows)
     assert not (out_repack and rows != 1), "out_repack requires rows=1"
     ci = gci // g
     winc = (g + 2) * ci
-    co = w2.shape[-1]
-    w3 = w2.reshape(3, 3 * winc, co)
+    co = w2s[0].shape[-1]
+    halves = len(xs)
     mul2 = mul.reshape(1, co).astype(jnp.float32)
     add2 = add.reshape(1, co).astype(jnp.float32)
 
-    in_specs = [
-        pl.BlockSpec((rows, h, w, gci), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        # previous / next N blocks for the depth halo at block edges
-        # (full-channel blocks — Mosaic requires the last dims be whole or
-        # 128-divisible — sliced to the edge Ci inside the kernel; clamped
-        # at the array edge and zeroed there via the gi test)
-        pl.BlockSpec((rows, h, w, gci),
-                     lambda i: (jnp.maximum(i - 1, 0), 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((rows, h, w, gci),
-                     lambda i: (jnp.minimum(i + 1, n // rows - 1), 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, 3 * winc, co), lambda i: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
+    # per half: (xc, xp, xn) — previous / next N blocks for the depth halo
+    # at block edges (full-channel blocks — Mosaic requires the last dims be
+    # whole or 128-divisible — sliced to the edge Ci inside the kernel;
+    # clamped at the array edge and zeroed there via the gi test)
+    in_specs, args = [], []
+    for x4 in xs:
+        in_specs += [
+            pl.BlockSpec((rows, h, w, gci), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, h, w, gci),
+                         lambda i: (jnp.maximum(i - 1, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, h, w, gci),
+                         lambda i: (jnp.minimum(i + 1, n // rows - 1), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [x4, x4, x4]
+    for w2 in w2s:
+        in_specs.append(pl.BlockSpec((3, 3 * winc, co), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(w2.reshape(3, 3 * winc, co))
+    in_specs += [
         pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [x4, x4, x4, w3, mul2, add2]
+    args += [mul2, add2]
     if residual is not None:
         in_specs.append(
             pl.BlockSpec((rows, h, w, co), lambda i: (i, 0, 0, 0),
@@ -460,25 +501,26 @@ def packed_conv_bn(
         out_specs = pl.BlockSpec(
             (1, h, w, 1, co), lambda i: (i // dg, 0, 0, i % dg, 0),
             memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((n // dg, h, w, dg, co), x4.dtype)
+        out_shape = jax.ShapeDtypeStruct((n // dg, h, w, dg, co), xs[0].dtype)
     else:
         out_specs = pl.BlockSpec((rows, h, w, co), lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((n, h, w, co), x4.dtype)
+        out_shape = jax.ShapeDtypeStruct((n, h, w, co), xs[0].dtype)
     return pl.pallas_call(
-        partial(_kernel, dg, g, ci, relu, residual is not None, rows),
+        partial(_kernel, dg, g, ci, relu, residual is not None, rows, halves),
         grid=(n // rows,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((rows, h + 2, w, 3 * winc), x4.dtype),
+            pltpu.VMEM((rows, h + 2, w, 3 * winc), xs[0].dtype),
         ],
         # the residual variant's working set peaks at ~16.3 MB (3 full-row
         # input blocks + residual, double-buffered, + the win3 scratch) —
-        # just past Mosaic's default 16 MB scoped-vmem cap
+        # just past Mosaic's default 16 MB scoped-vmem cap; the pair form
+        # doubles the input blocks
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024
+            vmem_limit_bytes=(24 if halves == 1 else 30) * 1024 * 1024
         ),
         interpret=interpret,
     )(*args)

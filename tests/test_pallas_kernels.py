@@ -304,3 +304,33 @@ def test_packed_deconv_bn_interpret_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(got2), np.asarray(jnp.maximum(base + res, 0)),
         rtol=1e-4, atol=1e-5)
+
+
+def test_packed_conv_bn_pair_matches_chained(rng):
+    """packed_conv_bn_pair (one pass over two channel halves) vs the summed
+    two-single-kernel form it replaces."""
+    from disprcnn_tpu.ops.conv3d_packed import pack_depth, pack_kernel
+    from disprcnn_tpu.ops.pallas.packed_conv import (
+        packed_conv_bn, packed_conv_bn_pair,
+    )
+
+    B, D, H, W, CI, CO, G = 2, 8, 4, 6, 4, 4, 4
+    DG = D // G
+    xa = jnp.asarray(rng.normal(size=(B, D, H, W, CI)).astype(np.float32))
+    xb = jnp.asarray(rng.normal(size=(B, D, H, W, CI)).astype(np.float32))
+    ka = jnp.asarray(rng.normal(size=(3, 3, 3, CI, CO)).astype(np.float32) * 0.2)
+    kb = jnp.asarray(rng.normal(size=(3, 3, 3, CI, CO)).astype(np.float32) * 0.2)
+    a4 = pack_depth(xa, G).reshape(B * DG, H, W, G * CI)
+    b4 = pack_depth(xb, G).reshape(B * DG, H, W, G * CI)
+    mul = jnp.asarray(rng.normal(size=G * CO).astype(np.float32) * 0.5 + 1.0)
+    add = jnp.asarray(rng.normal(size=G * CO).astype(np.float32) * 0.1)
+    w2a, w2b = pack_kernel(ka, G), pack_kernel(kb, G)
+
+    ya = packed_conv_bn(a4, w2a, mul, jnp.zeros_like(add), DG, G,
+                        relu=False, interpret=True)
+    want = packed_conv_bn(b4, w2b, mul, add, DG, G, relu=True, residual=ya,
+                          interpret=True)
+    got = packed_conv_bn_pair(a4, b4, w2a, w2b, mul, add, DG, G, relu=True,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
