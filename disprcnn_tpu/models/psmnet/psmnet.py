@@ -463,10 +463,47 @@ class PackedConvBN3d(nn.Module):
 
     @nn.compact
     def __call__(self, x4, train: bool = False, relu: bool = False,
-                 residual=None, out_repack: bool = False):
+                 residual=None, out_repack: bool = False, cost_volume=None):
         """out_repack=True returns (B, H, W, Dg, G*Co) — the classif heads'
         depth-major layout — written directly by the Pallas kernel's output
-        BlockSpec instead of a separate full-volume transpose."""
+        BlockSpec instead of a separate full-volume transpose.
+
+        cost_volume=(lf, rf, mindisp4): x4 is ignored and the module IS the
+        cost-volume build + first conv. On the eval TPU path the volume is
+        constructed inside the kernel (ops/pallas/packed_conv._kernel_cv) —
+        it never exists in HBM; elsewhere it falls back to
+        build_cost_volume_packed_split + the split path."""
+        if cost_volume is not None:
+            lf, rf, mind4 = cost_volume
+            maxd4 = mind4 + self.dg * self.group
+            if (not train and jax.default_backend() == "tpu"
+                    and not self.is_initializing()):
+                from ...ops.conv3d_packed import pack_kernel
+                from ...ops.pallas.packed_conv import cost_volume_conv_bn
+
+                c = lf.shape[-1]
+                conv = _PackedKernelConv(
+                    self.features, self.group, self.dg, 1, self.dtype,
+                    in_features=2 * c, name="Conv_0",
+                )
+                bn = _PackedBN(
+                    self.features, self.group, dtype=self.dtype,
+                    name="BatchNorm_0",
+                )
+                kernel = conv(raw=True)
+                scale, bias, mean, var = bn(raw=True)
+                mulv = scale * jax.lax.rsqrt(var + bn.epsilon)
+                addv = bias - mean * mulv
+                dt = self.dtype
+                return cost_volume_conv_bn(
+                    lf.astype(dt), rf.astype(dt),
+                    pack_kernel(kernel[:, :, :, :c, :].astype(dt), self.group),
+                    pack_kernel(kernel[:, :, :, c:, :].astype(dt), self.group),
+                    jnp.tile(mulv, self.group), jnp.tile(addv, self.group),
+                    self.dg, self.group, mind4, relu=relu,
+                )
+            x4 = build_cost_volume_packed_split(lf, rf, mind4, maxd4,
+                                                self.group)
         split = isinstance(x4, (tuple, list))
         ci_total = (
             sum(v.shape[-1] for v in x4) if split else x4.shape[-1]
@@ -734,17 +771,19 @@ class PSMNet(nn.Module):
         assert d4 % 4 == 0, "disparity range must be a multiple of 16"
         G = 4
         dg = d4 // G
+        pc = partial(PackedConvBN3d, group=G, dg=dg, dtype=self.dtype)
         if not train and jax.default_backend() == "tpu":
-            # channel-split pair: dres0_0's Pallas path chains two kernels
-            costp = build_cost_volume_packed_split(
-                lf, rf, self.mindisp // 4, self.maxdisp // 4, G
+            # cost-volume build fused into dres0_0's kernel (or the split
+            # fallback inside the module during init)
+            x = pc(32, name="dres0_0")(
+                None, train, relu=True,
+                cost_volume=(lf, rf, self.mindisp // 4),
             )
         else:
             costp = build_cost_volume_packed(
                 lf, rf, self.mindisp // 4, self.maxdisp // 4, G
             )
-        pc = partial(PackedConvBN3d, group=G, dg=dg, dtype=self.dtype)
-        x = pc(32, name="dres0_0")(costp, train, relu=True)
+            x = pc(32, name="dres0_0")(costp, train, relu=True)
         x = pc(32, name="dres0_1")(x, train, relu=True)
         y = pc(32, name="dres1_0")(x, train, relu=True)
         cost0p = pc(32, name="dres1_1")(y, train, residual=x)

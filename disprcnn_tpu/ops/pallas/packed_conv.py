@@ -34,6 +34,109 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _kernel_cv(dg, g, c, mind4, relu, *refs):
+    """Cost-volume construction + the first trunk conv in one pass.
+
+    Grid step n = bi*dg + gi builds the (G+2) window depth slices for group
+    gi directly from the feature maps: slice s (disparity d = mind4 + gi*G
+    + s - 1) is [left masked to in-bounds columns | right rolled by d]
+    (build_cost_volume_packed_split semantics, incl. zero SAME-padding
+    slices outside [mind4, maxd4)). The packed cost volume (2 full volumes,
+    ~(G+2)/G x the feature bytes x D/4 slices) never exists in HBM.
+    pltpu.roll provides the dynamic (gi-dependent) column shift."""
+    lf, rf, w3a, w3b, mul, add, out, win3 = refs
+    n = pl.program_id(0)
+    gi = n % dg
+    h, w = lf.shape[1], lf.shape[2]
+    winc = (g + 2) * c
+    co = w3a.shape[-1]
+    d_base = mind4 + gi * g
+    maxd4 = mind4 + dg * g
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+
+    acc = jnp.zeros((h * w, co), jnp.float32)
+    c0 = winc
+    for half, (src, w3) in enumerate(((lf, w3a), (rf, w3b))):
+        v = src[0]
+        for s in range(g + 2):
+            d = d_base + (s - 1)
+            live = jnp.logical_and(d >= mind4, d < maxd4)
+            m = jnp.logical_and(cols >= d, cols < w + d)
+            m = jnp.logical_and(m, live).astype(v.dtype)
+            sl = v if half == 0 else pltpu.roll(v, d, axis=1)
+            win3[1 : h + 1, :, c0 + s * c : c0 + (s + 1) * c] = sl * m
+        zrow = jnp.zeros((1, w, winc), v.dtype)
+        win3[0:1, :, c0 : 2 * winc] = zrow
+        win3[h + 1 : h + 2, :, c0 : 2 * winc] = zrow
+        wfull = win3[:, :, c0 : 2 * winc]
+        zcol = jnp.zeros((h + 2, 1, winc), v.dtype)
+        win3[:, 1:, :winc] = wfull[:, : w - 1, :]
+        win3[:, 0:1, :winc] = zcol
+        win3[:, : w - 1, 2 * winc :] = wfull[:, 1:, :]
+        win3[:, w - 1 : w, 2 * winc :] = zcol
+        for dh in range(3):
+            a = win3[dh : dh + h].reshape(h * w, 3 * winc)
+            acc = acc + jnp.dot(a, w3[dh], preferred_element_type=jnp.float32)
+
+    y = acc * mul[0] + add[0]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out[...] = y.reshape(1, h, w, co).astype(out.dtype)
+
+
+@partial(jax.jit,
+         static_argnames=("dg", "g", "mind4", "relu", "interpret"))
+def cost_volume_conv_bn(
+    lf: jnp.ndarray,  # (B, H, W, C) quarter-res left features, bf16
+    rf: jnp.ndarray,  # (B, H, W, C) right features
+    w2a: jnp.ndarray,  # banded (3, 3, (G+2)C, G*Co): left-half kernel slice
+    w2b: jnp.ndarray,  # right-half kernel slice (pack_kernel of K[..., C:, :])
+    mul: jnp.ndarray,  # (G*Co,) folded BN scale
+    add: jnp.ndarray,  # (G*Co,) folded BN shift
+    dg: int,
+    g: int,
+    mind4: int,
+    relu: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused cost-volume build + dres0_0 conv + BN (+ReLU):
+    (B, H, W, C) x2 -> (B*Dg, H, W, G*Co). Matches
+    build_cost_volume_packed_split -> conv(xa)+conv(xb)+BN exactly."""
+    b, h, w, c = lf.shape
+    winc = (g + 2) * c
+    co = w2a.shape[-1]
+    mul2 = mul.reshape(1, co).astype(jnp.float32)
+    add2 = add.reshape(1, co).astype(jnp.float32)
+    n = b * dg
+
+    in_specs = [
+        pl.BlockSpec((1, h, w, c), lambda i: (i // dg, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, w, c), lambda i: (i // dg, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3 * winc, co), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3 * winc, co), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        partial(_kernel_cv, dg, g, c, mind4, relu),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, w, co), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, co), lf.dtype),
+        scratch_shapes=[pltpu.VMEM((h + 2, w, 3 * winc), lf.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(lf, rf, w2a.reshape(3, 3 * winc, co), w2b.reshape(3, 3 * winc, co),
+      mul2, add2)
+
+
 def _kernel_w(g, ci, relu, has_res, *refs):
     """W-packed 2-D sibling of _kernel: the halo travels along the packed-W
     axis INSIDE the block (previous/next W-group of the same image), so no

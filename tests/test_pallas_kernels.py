@@ -334,3 +334,34 @@ def test_packed_conv_bn_pair_matches_chained(rng):
                               interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_cost_volume_conv_bn_matches_split_chain(rng):
+    """cost_volume_conv_bn (fused build + first conv, interpret) vs
+    build_cost_volume_packed_split -> packed_conv_bn_pair, over a negative-
+    to-positive disparity range (the +-48 iDispNet form)."""
+    from disprcnn_tpu.models.psmnet.psmnet import build_cost_volume_packed_split
+    from disprcnn_tpu.ops.conv3d_packed import pack_kernel
+    from disprcnn_tpu.ops.pallas.packed_conv import (
+        cost_volume_conv_bn, packed_conv_bn_pair,
+    )
+
+    B, H, W, C, CO, G = 2, 6, 10, 4, 4, 4
+    mind4, maxd4 = -4, 4
+    dg = (maxd4 - mind4) // G
+    lf = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    rf = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    kern = jnp.asarray(
+        rng.normal(size=(3, 3, 3, 2 * C, CO)).astype(np.float32) * 0.2)
+    mul = jnp.asarray(rng.normal(size=G * CO).astype(np.float32) * 0.5 + 1.0)
+    add = jnp.asarray(rng.normal(size=G * CO).astype(np.float32) * 0.1)
+    w2a = pack_kernel(kern[:, :, :, :C, :], G)
+    w2b = pack_kernel(kern[:, :, :, C:, :], G)
+
+    xa, xb = build_cost_volume_packed_split(lf, rf, mind4, maxd4, G)
+    want = packed_conv_bn_pair(xa, xb, w2a, w2b, mul, add, dg, G, relu=True,
+                               interpret=True)
+    got = cost_volume_conv_bn(lf, rf, w2a, w2b, mul, add, dg, G, mind4,
+                              relu=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
