@@ -135,13 +135,28 @@ class SharedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x=None, train: bool = False, *, factored=None,
-                 factored_max=None):
+                 factored_max=None, ball=None):
         start = 0
         pool = factored_max is not None
         if pool:
             factored = factored_max
         if factored is not None:
             feats, grouped_xyz, gather = factored
+            if (
+                pool
+                and not train
+                and ball is not None
+                and feats is not None
+                and grouped_xyz is not None
+                and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
+                and not self.is_initializing()
+                and self.channels[0] >= 64
+            ):
+                # whole-scale mega-kernel: ball query + gathers + MLP + max
+                # in one VMEM pass (ops/pallas/sa_fused.py). The idx/gx
+                # operands of the fallback path below are dead under jit
+                # and DCE'd.
+                return self._fused_ball_pool(ball, feats)
             nxyz = 0 if grouped_xyz is None else 3
             nfeat = 0 if feats is None else feats.shape[-1]
             dense0 = _SlicedDense(
@@ -197,6 +212,51 @@ class SharedMLP(nn.Module):
         if pool:
             x = jnp.max(x, axis=2)
         return x
+
+    def _fused_ball_pool(self, ball, feats):
+        """Eval-only whole-scale pass: distances, rank-one-hot ball query,
+        gathers, factored mlp0 + BN0 + ReLU, mlp1..k, max over S — one
+        Pallas kernel per batch row (ops/pallas/sa_fused.py). mlp0's
+        feature columns are pre-applied at the N source points here (the
+        factored-path algebra); its xyz columns go in raw for the kernel's
+        f32-centered VPU term."""
+        import jax.lax as lax
+
+        from ...ops.pallas.sa_fused import sa_ball_mlp_max
+
+        xyz, new_xyz, radius, nsample = ball
+        c0 = self.channels[0]
+        nfeat = feats.shape[-1]
+        k0, b0 = _RawDense(c0, 3 + nfeat, use_bias=not self.use_bn,
+                           name="mlp0")()
+        dt = self.dtype
+        v = feats.astype(dt) @ k0[3:].astype(dt)  # as _SlicedDense cols=(3,·)
+        if b0 is not None:
+            v = v + b0.astype(dt)
+        if self.use_bn:
+            s0, t0, m0, v0 = _RawBN(c0, name="bn0")()
+            mul0 = s0 * lax.rsqrt(v0 + 1e-5)
+            add0 = t0 - m0 * mul0
+        else:
+            mul0 = jnp.ones((c0,), jnp.float32)
+            add0 = jnp.zeros((c0,), jnp.float32)
+        weights = []
+        for i in range(1, len(self.channels)):
+            k, bi = _RawDense(
+                self.channels[i], self.channels[i - 1],
+                use_bias=not self.use_bn, name=f"mlp{i}",
+            )()
+            if self.use_bn:
+                si, ti, mi, vi = _RawBN(self.channels[i], name=f"bn{i}")()
+                mm = si * lax.rsqrt(vi + 1e-5)
+                k = k * mm[None, :]
+                bi = ti - mi * mm
+            weights.append((k, bi))
+        out = sa_ball_mlp_max(
+            xyz, new_xyz, v, k0[:3], mul0, add0, tuple(weights),
+            float(radius), nsample, interpret=_FORCE_INTERPRET,
+        )
+        return out.astype(self.dtype)
 
     def _fused_pool(self, x):
         """Eval-only: relu(x*bn0) -> mlp1..k (+folded BN, ReLU) -> max over S,
@@ -289,6 +349,7 @@ def _fused_group_mlp(
     return mlp_mod(
         train=train,
         factored_max=(features, gx, lambda v: group_points(v, idx)),
+        ball=(xyz, new_xyz, radius, nsample),
     )
 
 

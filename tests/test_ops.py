@@ -359,3 +359,63 @@ def test_fused_group_mlp_matches_literal(rng):
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
             )
+
+
+def test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng):
+    """The whole-scale SA mega-kernel (ball query + gathers + MLP + max,
+    interpret mode on CPU) must match the literal grouped path, with and
+    without BN, including EMPTY balls (-> point 0) and PARTIAL balls
+    (first-neighbour fill)."""
+    import jax as _jax
+
+    import disprcnn_tpu.models.pointrcnn.pointnet2 as pn2
+    from disprcnn_tpu.models.pointrcnn.pointnet2 import (
+        SharedMLP, _fused_group_mlp, sample_and_group,
+    )
+
+    monkeypatch.setattr(pn2, "_FORCE_INTERPRET", True)
+    b, n, m, s = 2, 40, 8, 8
+    xyz = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32)) * 2.0
+    # one far-away center per image -> empty ball; small radius -> partials
+    new_xyz = jnp.concatenate(
+        [xyz[:, : m - 1], jnp.full((b, 1, 3), 50.0)], axis=1)
+    feats = jnp.asarray(rng.normal(size=(b, n, 16)).astype(np.float32))
+    radius = 1.2
+    for use_bn in (False, True):
+        mlp = SharedMLP((64, 72), use_bn=use_bn, dtype=jnp.bfloat16)
+        v = mlp.init(
+            _jax.random.PRNGKey(0),
+            jnp.zeros((b, m, s, 19), jnp.float32), False,
+        )
+        if use_bn:
+            v = dict(v)
+            v["batch_stats"] = _jax.tree.map(
+                lambda a: a + 0.3 * jnp.abs(jnp.asarray(
+                    rng.normal(size=a.shape), a.dtype)),
+                v["batch_stats"])
+        # oracle 1: the factored XLA path (what the kernel replaces on TPU;
+        # identical arithmetic split incl. the empty-ball far-center rows)
+        monkeypatch.setattr(pn2, "_FORCE_INTERPRET", False)
+        want_f = _fused_group_mlp(
+            mlp.bind(v), xyz, feats, new_xyz, radius, s, True, use_bn, False)
+        # oracle 2: the literal grouped path — bounded-offset rows only (the
+        # degenerate empty-ball center differs between literal and factored
+        # mlp0 splits by bf16 cancellation, kernel-independently)
+        g = sample_and_group(xyz, feats, new_xyz, radius, s, True)
+        want_l = jnp.max(mlp.apply(v, g, False), axis=2)
+
+        monkeypatch.setattr(pn2, "_FORCE_INTERPRET", True)
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        got = _fused_group_mlp(
+            mlp.bind(v), xyz, feats, new_xyz, radius, s, True, use_bn, False)
+        monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+        # 4e-2: the kernel folds BN into affines once; flax BatchNorm
+        # normalizes per call — one bf16 rounding difference amplified
+        # through relu + 2 layers (observed worst case 3.1% on 1/1152)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want_f, np.float32),
+            rtol=4e-2, atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32)[:, : m - 1],
+            np.asarray(want_l, np.float32)[:, : m - 1],
+            rtol=4e-2, atol=2e-2)
