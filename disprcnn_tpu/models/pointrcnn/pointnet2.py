@@ -19,6 +19,7 @@ import jax.numpy as jnp
 # tests set this True to run the fused-pool Pallas kernel interpreted on CPU
 _FORCE_INTERPRET = False
 
+from ...ops.pallas import kernel_disabled
 from ...ops.points import (
     ball_query,
     fps_or_identity,
@@ -149,6 +150,7 @@ class SharedMLP(nn.Module):
                 and feats is not None
                 and grouped_xyz is not None
                 and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
+                and not kernel_disabled("sa")
                 and not self.is_initializing()
                 and self.channels[0] >= 64
             ):
@@ -177,6 +179,7 @@ class SharedMLP(nn.Module):
                 pool
                 and not train
                 and jax.default_backend() == "tpu"
+                and not kernel_disabled("pool")
                 and not self.is_initializing()
                 and self.channels[0] >= 64
             ):

@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.pallas import kernel_disabled
 from ...ops.conv3d_packed import (
     conv2d_wpacked, conv3d_packed_r4, conv3d_packed_strided_r4,
     conv3d_packed_transposed_r4, pack_depth, repack_depth, unpack_depth,
@@ -95,6 +96,7 @@ class ConvBN(nn.Module):
             use_pallas = (
                 not train
                 and jax.default_backend() == "tpu"
+                and not kernel_disabled("wconv")
                 and not self.is_initializing()
                 and hw >= 1500  # same per-grid-step overhead gate as 3-D
             )
@@ -477,6 +479,7 @@ class PackedConvBN3d(nn.Module):
             lf, rf, mind4 = cost_volume
             maxd4 = mind4 + self.dg * self.group
             if (not train and jax.default_backend() == "tpu"
+                    and not kernel_disabled("cv")
                     and not self.is_initializing()):
                 from ...ops.conv3d_packed import pack_kernel
                 from ...ops.pallas.packed_conv import cost_volume_conv_bn
@@ -531,6 +534,7 @@ class PackedConvBN3d(nn.Module):
             not train
             and self.stride in (1, 2)
             and jax.default_backend() == "tpu"
+            and not kernel_disabled("s2" if self.stride == 2 else "conv3d")
             and not self.is_initializing()
             and eff * rows >= 1500
         )
@@ -643,6 +647,7 @@ class Hourglass(nn.Module):
                 )
                 hw = v.shape[1] * v.shape[2]
                 if (not train and jax.default_backend() == "tpu"
+                        and not kernel_disabled("deconv")
                         and not self.is_initializing()):
                     from ...ops.conv3d_packed import pack_kernel_transposed
                     from ...ops.pallas.packed_conv import packed_deconv_bn
