@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ...ops import pairwise_iou
 from ...ops.losses import smooth_l1
+from ...ops.topk_select import topk_scores
 from ...ops.nms import nms_topk
 from ...structures.boxes import Boxes2D
 from . import box_coder
@@ -63,7 +64,10 @@ def postprocess(
 ) -> Boxes2D:
     scores = jax.nn.sigmoid(obj_logits)
     k = min(pre_nms_top_n, anchors.shape[0])
-    top_s, top_i = jax.lax.top_k(scores, k)
+    # sigmoid probs are non-negative: threshold-select avoids the full
+    # sort lax.top_k lowers to on TPU (ops/topk_select.py)
+    top_s, top_i = topk_scores(scores[None], k)
+    top_s, top_i = top_s[0], top_i[0]
     boxes = box_coder.decode4(deltas[top_i], anchors[top_i])
     h, w = image_hw
     boxes = jnp.clip(

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ...ops import pairwise_iou
 from ...ops.losses import smooth_l1
 from ...ops.nms import double_view_nms_topk, double_view_nms_topk_batched
+from ...ops.topk_select import topk_scores
 from ...structures.stereo import StereoBoxes
 from . import box_coder
 from .matcher import balanced_sample, match
@@ -138,7 +139,10 @@ def postprocess(
     """Single-image SRPN proposal selection -> StereoBoxes(post_nms_top_n)."""
     scores = obj_logits[:, 1] if scores_are_probs else jax.nn.softmax(obj_logits, axis=-1)[:, 1]
     k = min(pre_nms_top_n, anchors.shape[0])
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    # softmax probs are non-negative: threshold-select avoids the full
+    # N~119k sort lax.top_k lowers to on TPU (ops/topk_select.py)
+    top_scores, top_idx = topk_scores(scores[None], k)
+    top_scores, top_idx = top_scores[0], top_idx[0]
     box6 = box_coder.decode6(deltas[top_idx], anchors[top_idx])
     left, right = box_coder.split_stereo(box6)
     h, w = image_hw
@@ -182,7 +186,9 @@ def postprocess_batched(
     scores = (obj_logits[..., 1] if scores_are_probs
               else jax.nn.softmax(obj_logits, axis=-1)[..., 1])  # (B, N)
     k = min(pre_nms_top_n, anchors.shape[0])
-    top_scores, top_idx = jax.lax.top_k(scores, k)  # (B, k)
+    # softmax probs are non-negative: threshold-select avoids the full
+    # N~119k sort lax.top_k lowers to on TPU (ops/topk_select.py)
+    top_scores, top_idx = topk_scores(scores, k)  # (B, k)
     d = jnp.take_along_axis(deltas, top_idx[..., None], axis=1)
     a = jnp.take(anchors, top_idx, axis=0)  # (B, k, 4)
     box6 = box_coder.decode6(d.reshape(-1, 6), a.reshape(-1, 4))

@@ -419,3 +419,25 @@ def test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng):
             np.asarray(got, np.float32)[:, : m - 1],
             np.asarray(want_l, np.float32)[:, : m - 1],
             rtol=4e-2, atol=2e-2)
+
+
+def test_topk_threshold_matches_lax_topk(rng):
+    """topk_threshold must be bit-identical to jax.lax.top_k on
+    non-negative scores: same values, same indices, same lowest-index tie
+    resolution — incl. heavy ties at and above the threshold, zeros, and
+    k == n."""
+    import jax
+
+    from disprcnn_tpu.ops.topk_select import topk_threshold
+
+    for b, n, k, quant in ((3, 1000, 64, None), (2, 5000, 600, 0.01),
+                           (1, 300, 300, 0.1), (2, 257, 19, 0.5)):
+        s = rng.uniform(0.0, 1.0, size=(b, n)).astype(np.float32)
+        if quant:  # force many exact ties
+            s = (np.round(s / quant) * quant).astype(np.float32)
+        s[:, :5] = 0.0
+        s = jnp.asarray(s)
+        wv, wi = jax.lax.top_k(s, k)
+        gv, gi = topk_threshold(s, k)
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
