@@ -1,0 +1,115 @@
+"""Pallas fused 3D ROI pooling: in-box test + first-k-cycled one-hot gather.
+
+One grid step per (batch, box): the canonical-frame point-in-box mask, the
+first-`S`-in-scan-order selection WITH the reference's tail cycling
+(slot % cnt, roipool3d_kernel.cu:58-76) as a rank-derived one-hot, and the
+xyz+feature gather as VMEM-resident MXU dots (xyz in f32 for geometry
+accuracy — no hi/lo split needed in-kernel). Replaces the XLA chain of
+pts_in_boxes3d + first_k_true + the bf16 hi/lo double-width one-hot gather
+(ops/roipool3d.py), whose intermediates round-trip HBM.
+
+Ranks count in f32 on the MXU (triangle matmul; bf16 is exact only to 256,
+k is 512).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(s, max_dis, s_tile, *refs):
+    pts, feats, box, out, emptyref = refs
+    n = pts.shape[1]
+    cf = feats.shape[-1]
+
+    p = pts[0].astype(jnp.float32)  # (N, 3)
+    x, y, z = p[:, 0].reshape(1, n), p[:, 1].reshape(1, n), p[:, 2].reshape(1, n)
+    b = box[0, 0].astype(jnp.float32)  # (7,)
+    cx, by, cz, h, w, l, ry = (b[i] for i in range(7))
+    cy = by - h * 0.5
+    dx, dy, dz = x - cx, y - cy, z - cz
+    cosa, sina = jnp.cos(ry), jnp.sin(ry)
+    x_rot = dx * cosa - dz * sina
+    z_rot = dx * sina + dz * cosa
+    mask = (
+        (jnp.abs(dx) <= max_dis)
+        & (jnp.abs(dy) <= h * 0.5)
+        & (jnp.abs(dz) <= max_dis)
+        & (x_rot >= -l * 0.5) & (x_rot <= l * 0.5)
+        & (z_rot >= -w * 0.5) & (z_rot <= w * 0.5)
+    ).astype(jnp.float32)  # (1, N)
+
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ).astype(jnp.float32)
+    incl = jnp.dot(mask, tri, preferred_element_type=jnp.float32)  # (1, N)
+    rank = incl - mask
+    cnt = incl[0, n - 1]
+
+    vals = jnp.concatenate([p, feats[0].astype(jnp.float32)], axis=-1)
+    # (slots are processed in s_tile chunks to bound the (st, N) one-hot)
+    for t0 in range(0, s, s_tile):
+        st = min(s_tile, s - t0)
+        slots = t0 + jax.lax.broadcasted_iota(jnp.float32, (st, 1), 0)
+        # reference tail cycling: slot % cnt once past the found count
+        cyc = slots - cnt * jnp.floor(slots / jnp.maximum(cnt, 1.0))
+        tgt = jnp.where(slots < cnt, slots, cyc)
+        onehot = (rank == tgt) * mask  # (st, N) f32 0/1, empty box -> all 0
+        g = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
+        out[0, t0 : t0 + st] = g.astype(out.dtype)
+    emptyref[0, 0] = (cnt == 0.0).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("sampled_pts_num", "max_dis", "interpret"))
+def roipool3d_fused(
+    pts: jnp.ndarray,  # (B, N, 3) f32
+    feats: jnp.ndarray,  # (B, N, C)
+    boxes3d: jnp.ndarray,  # (B, M, 7)
+    sampled_pts_num: int = 512,
+    max_dis: float = 10.0,
+    interpret: bool = False,
+):
+    """-> pooled (B, M, S, 3 + C) f32, empty (B, M) bool. Matches
+    ops/roipool3d.roipool3d exactly up to the hi/lo gather's ~2^-17
+    rounding (this kernel gathers in f32)."""
+    bsz, n, _ = pts.shape
+    m = boxes3d.shape[1]
+    s = sampled_pts_num
+    cf = feats.shape[-1]
+    s_tile = min(s, 256)
+
+    grid = (bsz * m,)
+    pooled, empty = pl.pallas_call(
+        partial(_kernel, s, float(max_dis), s_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda i: (i // m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cf), lambda i: (i // m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 7), lambda i: (i // m, i % m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, s, 3 + cf), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz * m, s, 3 + cf), jnp.float32),
+            jax.ShapeDtypeStruct((bsz * m, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(pts, feats, boxes3d.reshape(bsz, m, 7))
+    return (
+        pooled.reshape(bsz, m, s, 3 + cf),
+        empty.reshape(bsz, m) > 0.5,
+    )

@@ -85,8 +85,17 @@ def roipool3d(
 ):
     """-> pooled (B, M, S, 3 + C), empty_flag (B, M) bool."""
 
+    from .pallas import kernel_disabled
+
     bsz, n = pts.shape[0], pts.shape[1]
     m = boxes3d.shape[1]
+    if jax.default_backend() == "tpu" and not kernel_disabled("roipool"):
+        # fused Pallas path: mask + first-k-cycled one-hot + f32 gather in
+        # VMEM (ops/pallas/roipool3d_fused.py); slightly MORE accurate than
+        # the hi/lo gather below (full f32)
+        from .pallas.roipool3d_fused import roipool3d_fused
+
+        return roipool3d_fused(pts, feats, boxes3d, sampled_pts_num)
     mask = jax.vmap(pts_in_boxes3d)(pts, boxes3d)  # (B, M, N)
     idx, cnt = _first_k_cycled_rows(mask.reshape(bsz * m, n), sampled_pts_num)
     idx = idx.reshape(bsz, m, sampled_pts_num)

@@ -441,3 +441,26 @@ def test_topk_threshold_matches_lax_topk(rng):
         gv, gi = topk_threshold(s, k)
         np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
         np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+
+
+def test_roipool3d_fused_matches_xla(rng):
+    """roipool3d_fused (Pallas, interpret) vs ops.roipool3d (first-k scan
+    order, tail cycling, empty flag), incl. an empty box."""
+    from disprcnn_tpu.ops.pallas.roipool3d_fused import roipool3d_fused
+    from disprcnn_tpu.ops.roipool3d import roipool3d
+
+    b, n, m, s = 2, 60, 3, 16
+    pts = jnp.asarray(rng.uniform(-4, 4, (b, n, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(b, n, 5)).astype(np.float32))
+    boxes = np.tile(
+        np.array([[0.0, 1.0, 0.0, 2.0, 3.0, 3.0, 0.4],
+                  [1.0, 0.5, -1.0, 1.5, 2.0, 2.5, -0.8],
+                  [50.0, 50.0, 50.0, 1.0, 1.0, 1.0, 0.0]],  # empty
+                 np.float32)[None], (b, 1, 1))
+    boxes = jnp.asarray(boxes)
+    want_p, want_e = roipool3d(pts, feats, boxes, sampled_pts_num=s)
+    got_p, got_e = roipool3d_fused(pts, feats, boxes, sampled_pts_num=s,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_e), np.asarray(want_e))
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=1e-5, atol=1e-5)
