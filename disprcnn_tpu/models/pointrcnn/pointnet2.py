@@ -134,9 +134,42 @@ class SharedMLP(nn.Module):
     use_bn: bool = True
     dtype: Any = jnp.float32
 
+    def _folded_chain(self, start: int, in0: int):
+        """Folded (W, b) per layer [start..): Dense kernel with the eval BN
+        affine absorbed — shared by the fused eval kernels."""
+        import jax.lax as lax
+
+        weights = []
+        for i in range(start, len(self.channels)):
+            cin = in0 if i == start else self.channels[i - 1]
+            k, bi = _RawDense(
+                self.channels[i], cin, use_bias=not self.use_bn,
+                name=f"mlp{i}",
+            )()
+            if self.use_bn:
+                si, ti, mi, vi = _RawBN(self.channels[i], name=f"bn{i}")()
+                mm = si * lax.rsqrt(vi + 1e-5)
+                k = k * mm[None, :]
+                bi = ti - mi * mm
+            weights.append((k, bi))
+        return weights
+
     @nn.compact
     def __call__(self, x=None, train: bool = False, *, factored=None,
-                 factored_max=None, ball=None):
+                 factored_max=None, ball=None, fp=None):
+        if fp is not None:
+            # fused 3-NN + interpolate + concat + MLP (ops/pallas/fp_fused);
+            # FPModule gates this call (eval, TPU, not initializing)
+            from ...ops.pallas.fp_fused import fp_fused
+
+            unknown, known, known_feats, unknown_feats = fp
+            weights = self._folded_chain(
+                0, known_feats.shape[-1] + unknown_feats.shape[-1])
+            return fp_fused(
+                unknown, known, known_feats.astype(self.dtype),
+                unknown_feats.astype(self.dtype), tuple(weights),
+                interpret=_FORCE_INTERPRET,
+            ).astype(self.dtype)
         start = 0
         pool = factored_max is not None
         if pool:
@@ -243,18 +276,7 @@ class SharedMLP(nn.Module):
         else:
             mul0 = jnp.ones((c0,), jnp.float32)
             add0 = jnp.zeros((c0,), jnp.float32)
-        weights = []
-        for i in range(1, len(self.channels)):
-            k, bi = _RawDense(
-                self.channels[i], self.channels[i - 1],
-                use_bias=not self.use_bn, name=f"mlp{i}",
-            )()
-            if self.use_bn:
-                si, ti, mi, vi = _RawBN(self.channels[i], name=f"bn{i}")()
-                mm = si * lax.rsqrt(vi + 1e-5)
-                k = k * mm[None, :]
-                bi = ti - mi * mm
-            weights.append((k, bi))
+        weights = self._folded_chain(1, self.channels[0])
         out = sa_ball_mlp_max(
             xyz, new_xyz, v, k0[:3], mul0, add0, tuple(weights),
             float(radius), nsample, interpret=_FORCE_INTERPRET,
@@ -277,18 +299,7 @@ class SharedMLP(nn.Module):
         else:
             mul0 = jnp.ones((c0,), jnp.float32)
             add0 = jnp.zeros((c0,), jnp.float32)
-        weights = []
-        for i in range(1, len(self.channels)):
-            k, bi = _RawDense(
-                self.channels[i], self.channels[i - 1],
-                use_bias=not self.use_bn, name=f"mlp{i}",
-            )()
-            if self.use_bn:
-                si, ti, mi, vi = _RawBN(self.channels[i], name=f"bn{i}")()
-                mm = si * lax.rsqrt(vi + 1e-5)
-                k = k * mm[None, :]
-                bi = ti - mi * mm
-            weights.append((k, bi))
+        weights = self._folded_chain(1, self.channels[0])
         b, m, s, _ = x.shape
         out = grouped_mlp_max(
             x.reshape(b * m, s, c0).astype(jnp.bfloat16),
@@ -421,6 +432,20 @@ class FPModule(nn.Module):
 
     @nn.compact
     def __call__(self, unknown, known, unknown_feats, known_feats, train: bool = False):
+        mlp_mod = SharedMLP(self.mlp, self.use_bn, self.dtype, name="mlp")
+        if (
+            known is not None
+            and unknown_feats is not None
+            and not train
+            and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
+            and not kernel_disabled("fp")
+            and not self.is_initializing()
+        ):
+            # fused 3-NN + interp + concat + MLP in one VMEM pass
+            return mlp_mod(
+                train=train,
+                fp=(unknown, known, known_feats, unknown_feats),
+            )
         if known is not None:
             d, idx = three_nn(unknown, known)
             w = three_nn_interpolate_weights(d)
@@ -431,7 +456,7 @@ class FPModule(nn.Module):
             )
         if unknown_feats is not None:
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
-        return SharedMLP(self.mlp, self.use_bn, self.dtype, name="mlp")(interp[:, :, None, :], train)[:, :, 0, :]
+        return mlp_mod(interp[:, :, None, :], train)[:, :, 0, :]
 
 
 class Pointnet2MSG(nn.Module):

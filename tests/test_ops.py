@@ -464,3 +464,36 @@ def test_roipool3d_fused_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(got_e), np.asarray(want_e))
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fp_fused_matches_xla(monkeypatch, rng):
+    """FPModule's fused 3-NN + interpolate + MLP kernel (interpret mode)
+    vs the literal XLA path, with and without BN."""
+    import jax as _jax
+
+    import disprcnn_tpu.models.pointrcnn.pointnet2 as pn2
+    from disprcnn_tpu.models.pointrcnn.pointnet2 import FPModule
+
+    b, nt, ns = 2, 24, 10
+    unknown = jnp.asarray(rng.normal(size=(b, nt, 3)).astype(np.float32)) * 2
+    known = jnp.asarray(rng.normal(size=(b, ns, 3)).astype(np.float32)) * 2
+    kf = jnp.asarray(rng.normal(size=(b, ns, 8)).astype(np.float32))
+    uf = jnp.asarray(rng.normal(size=(b, nt, 6)).astype(np.float32))
+    for use_bn in (False, True):
+        mod = FPModule((16, 12), use_bn=use_bn, dtype=jnp.bfloat16)
+        v = mod.init(_jax.random.PRNGKey(0), unknown, known, uf, kf, False)
+        if use_bn:
+            v = dict(v)
+            v["batch_stats"] = _jax.tree.map(
+                lambda a: a + 0.3 * jnp.abs(jnp.asarray(
+                    rng.normal(size=a.shape), a.dtype)),
+                v["batch_stats"])
+        want = mod.apply(v, unknown, known, uf, kf, False)
+        monkeypatch.setattr(pn2, "_FORCE_INTERPRET", True)
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        got = mod.apply(v, unknown, known, uf, kf, False)
+        monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+        monkeypatch.setattr(pn2, "_FORCE_INTERPRET", False)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=4e-2, atol=2e-2)
