@@ -14,9 +14,20 @@ import argparse
 import sys
 import traceback
 
+import functools
+import os
+
 import numpy as np
 
 sys.path.insert(0, ".")
+
+# DISPRCNN_SMOKE_INTERPRET=1: run every kernel in interpret mode (CPU
+# validation of the harness's shapes without a chip)
+_INTERPRET = os.environ.get("DISPRCNN_SMOKE_INTERPRET") == "1"
+
+
+def _maybe_interpret(fn):
+    return functools.partial(fn, interpret=True) if _INTERPRET else fn
 
 FAILED = []
 
@@ -50,9 +61,9 @@ def main():
 
     if "conv3d" not in skip:
         from disprcnn_tpu.ops.conv3d_packed import pack_kernel
-        from disprcnn_tpu.ops.pallas.packed_conv import (
-            packed_conv_bn, packed_conv_bn_pair,
-        )
+        from disprcnn_tpu.ops.pallas import packed_conv as _pc
+        packed_conv_bn = _maybe_interpret(_pc.packed_conv_bn)
+        packed_conv_bn_pair = _maybe_interpret(_pc.packed_conv_bn_pair)
 
         x4 = put(r.normal(size=(96, 56, 56, 128)))
         k = put(r.normal(size=(3, 3, 3, 32, 32)) * 0.1)
@@ -79,7 +90,8 @@ def main():
 
     if "s2" not in skip:
         from disprcnn_tpu.ops.conv3d_packed import pack_kernel_strided
-        from disprcnn_tpu.ops.pallas.packed_conv import packed_conv_bn_s2
+        from disprcnn_tpu.ops.pallas import packed_conv as _pc2
+        packed_conv_bn_s2 = _maybe_interpret(_pc2.packed_conv_bn_s2)
 
         k2 = put(r.normal(size=(3, 3, 3, 32, 64)) * 0.1)
         run("s2 56->28", lambda: float(jnp.sum(packed_conv_bn_s2(
@@ -90,7 +102,8 @@ def main():
 
     if "deconv" not in skip:
         from disprcnn_tpu.ops.conv3d_packed import pack_kernel_transposed
-        from disprcnn_tpu.ops.pallas.packed_conv import packed_deconv_bn
+        from disprcnn_tpu.ops.pallas import packed_conv as _pc3
+        packed_deconv_bn = _maybe_interpret(_pc3.packed_deconv_bn)
 
         kd = put(r.normal(size=(3, 3, 3, 64, 64)) * 0.1)
         run("deconv 14->28 rows=4", lambda: float(jnp.sum(packed_deconv_bn(
@@ -101,7 +114,8 @@ def main():
 
     if "cv" not in skip:
         from disprcnn_tpu.ops.conv3d_packed import pack_kernel
-        from disprcnn_tpu.ops.pallas.packed_conv import cost_volume_conv_bn
+        from disprcnn_tpu.ops.pallas import packed_conv as _pc4
+        cost_volume_conv_bn = _maybe_interpret(_pc4.cost_volume_conv_bn)
 
         kcv = put(r.normal(size=(3, 3, 3, 64, 32)) * 0.1)
         run("cost-volume conv", lambda: float(jnp.sum(cost_volume_conv_bn(
@@ -114,7 +128,8 @@ def main():
 
     if "wconv" not in skip:
         from disprcnn_tpu.ops.conv3d_packed import pack_kernel_w
-        from disprcnn_tpu.ops.pallas.packed_conv import wpacked_conv_bn
+        from disprcnn_tpu.ops.pallas import packed_conv as _pc5
+        wpacked_conv_bn = _maybe_interpret(_pc5.wpacked_conv_bn)
 
         kw = put(r.normal(size=(3, 3, 32, 32)) * 0.1)
         run("wpacked conv", lambda: float(jnp.sum(wpacked_conv_bn(
@@ -123,7 +138,8 @@ def main():
             4, relu=True).astype(jnp.float32))))
 
     if "sa" not in skip:
-        from disprcnn_tpu.ops.pallas.sa_fused import sa_ball_mlp_max
+        from disprcnn_tpu.ops.pallas import sa_fused as _sf
+        sa_ball_mlp_max = _maybe_interpret(_sf.sa_ball_mlp_max)
 
         ws = tuple(
             (put(r.normal(size=(128, 128)) * 0.1, jnp.float32),
@@ -140,7 +156,8 @@ def main():
                 ws, 1.5, 64).astype(jnp.float32))))
 
     if "fp" not in skip:
-        from disprcnn_tpu.ops.pallas.fp_fused import fp_fused
+        from disprcnn_tpu.ops.pallas import fp_fused as _ff
+        fp_fused = _maybe_interpret(_ff.fp_fused)
 
         wf = ((put(r.normal(size=(384, 128)) * 0.1, jnp.float32),
                put(np.zeros(128), jnp.float32)),)
@@ -152,7 +169,8 @@ def main():
             wf).astype(jnp.float32))))
 
     if "roipool" not in skip:
-        from disprcnn_tpu.ops.pallas.roipool3d_fused import roipool3d_fused
+        from disprcnn_tpu.ops.pallas import roipool3d_fused as _rf
+        roipool3d_fused = _maybe_interpret(_rf.roipool3d_fused)
 
         boxes = np.tile(np.array([[0.0, 1, 0, 2, 3, 3, 0.4]], np.float32),
                         (16, 16, 1))
