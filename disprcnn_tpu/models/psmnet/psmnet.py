@@ -23,6 +23,9 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.pallas import kernel_disabled
+
+# tests set this True to run the fused Pallas kernels interpreted on CPU
+_FORCE_INTERPRET = False
 from ...ops.conv3d_packed import (
     conv2d_wpacked, conv3d_packed_r4, conv3d_packed_strided_r4,
     conv3d_packed_transposed_r4, pack_depth, repack_depth, unpack_depth,
@@ -95,7 +98,7 @@ class ConvBN(nn.Module):
             hw = x.shape[1] * x.shape[2]
             use_pallas = (
                 not train
-                and jax.default_backend() == "tpu"
+                and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
                 and not kernel_disabled("wconv")
                 and not self.is_initializing()
                 and hw >= 1500  # same per-grid-step overhead gate as 3-D
@@ -116,6 +119,7 @@ class ConvBN(nn.Module):
                     self.wpack, relu=relu,
                     residual=None if residual is None
                     else residual.astype(dt),
+                    interpret=_FORCE_INTERPRET,
                 )
             y = bn(conv(x), train)
         else:
@@ -478,7 +482,8 @@ class PackedConvBN3d(nn.Module):
         if cost_volume is not None:
             lf, rf, mind4 = cost_volume
             maxd4 = mind4 + self.dg * self.group
-            if (not train and jax.default_backend() == "tpu"
+            if (not train
+                    and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
                     and not kernel_disabled("cv")
                     and not self.is_initializing()):
                 from ...ops.conv3d_packed import pack_kernel
@@ -504,6 +509,7 @@ class PackedConvBN3d(nn.Module):
                     pack_kernel(kernel[:, :, :, c:, :].astype(dt), self.group),
                     jnp.tile(mulv, self.group), jnp.tile(addv, self.group),
                     self.dg, self.group, mind4, relu=relu,
+                    interpret=_FORCE_INTERPRET,
                 )
             x4 = build_cost_volume_packed_split(lf, rf, mind4, maxd4,
                                                 self.group)
@@ -533,7 +539,7 @@ class PackedConvBN3d(nn.Module):
         use_pallas = (
             not train
             and self.stride in (1, 2)
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
             and not kernel_disabled("s2" if self.stride == 2 else "conv3d")
             and not self.is_initializing()
             and eff * rows >= 1500
@@ -556,6 +562,7 @@ class PackedConvBN3d(nn.Module):
                     pack_kernel_strided(kernel.astype(dt), self.group),
                     jnp.tile(mul, g_out), jnp.tile(add, g_out),
                     self.dg, self.group, relu=relu, rows=rows,
+                    interpret=_FORCE_INTERPRET,
                 )
             mul_t = jnp.tile(mul, self.group)
             add_t = jnp.tile(add, self.group)
@@ -573,6 +580,7 @@ class PackedConvBN3d(nn.Module):
                     pack_kernel(kernel[:, :, :, :cia, :].astype(dt), self.group),
                     pack_kernel(kernel[:, :, :, cia:, :].astype(dt), self.group),
                     mul_t, add_t, self.dg, self.group, relu=relu, rows=rows,
+                    interpret=_FORCE_INTERPRET,
                 )
             return packed_conv_bn(
                 x4.astype(dt),
@@ -580,6 +588,7 @@ class PackedConvBN3d(nn.Module):
                 mul_t, add_t, self.dg, self.group, relu=relu,
                 residual=None if residual is None else residual.astype(dt),
                 rows=1 if out_repack else rows, out_repack=out_repack,
+                interpret=_FORCE_INTERPRET,
             )
         if split:
             # interleave channel halves back to slice-major [a_ci | b_ci]
@@ -646,7 +655,9 @@ class Hourglass(nn.Module):
                     name=f"BatchNorm_{name_idx}",
                 )
                 hw = v.shape[1] * v.shape[2]
-                if (not train and jax.default_backend() == "tpu"
+                if (not train
+                        and (jax.default_backend() == "tpu"
+                             or _FORCE_INTERPRET)
                         and not kernel_disabled("deconv")
                         and not self.is_initializing()):
                     from ...ops.conv3d_packed import pack_kernel_transposed
@@ -669,6 +680,7 @@ class Hourglass(nn.Module):
                         residual=None if residual is None
                         else residual.astype(dt),
                         rows=rows,
+                        interpret=_FORCE_INTERPRET,
                     )
                 y = bn(dc(v), train)
                 if residual is not None:
@@ -777,7 +789,7 @@ class PSMNet(nn.Module):
         G = 4
         dg = d4 // G
         pc = partial(PackedConvBN3d, group=G, dg=dg, dtype=self.dtype)
-        if not train and jax.default_backend() == "tpu":
+        if not train and (jax.default_backend() == "tpu" or _FORCE_INTERPRET):
             # cost-volume build fused into dres0_0's kernel (or the split
             # fallback inside the module during init)
             x = pc(32, name="dres0_0")(
@@ -824,14 +836,16 @@ class PSMNet(nn.Module):
         d_full = self.maxdisp - self.mindisp
 
         def regress(c):  # c: (B, H, W, D) channels-last disparity volume
-            if not train and jax.default_backend() == "tpu":
+            if not train and (jax.default_backend() == "tpu"
+                              or _FORCE_INTERPRET):
                 # fused Pallas upsample+softmax+expectation: the full-res
                 # (B, H, W, D) volume never hits HBM (eval only — the train
                 # path needs autodiff through the XLA ops below)
                 from ...ops.pallas.softargmin import fused_softargmin
 
                 return fused_softargmin(
-                    c.astype(jnp.float32), (h, w), self.mindisp, self.maxdisp
+                    c.astype(jnp.float32), (h, w), self.mindisp, self.maxdisp,
+                    interpret=_FORCE_INTERPRET,
                 )
             md = _interp_matrix_align_corners(c.shape[-1], d_full, c.dtype)
             mh = _interp_matrix_align_corners(c.shape[1], h, c.dtype)
