@@ -66,7 +66,12 @@ def _require_backend(wait_s: float = 300.0):
         f"({state.get('err', 'tunnel absent/wedged')}); aborting",
         file=sys.stderr, flush=True,
     )
-    raise SystemExit(1)
+    # os._exit, not SystemExit: atexit/backend teardown would touch the
+    # half-connected client and hang on the dead tunnel (tools/tpu_probe.py
+    # uses the same clean-FIN exit for the same reason)
+    import os
+
+    os._exit(1)
 
 
 def main(pairs: int = 1):

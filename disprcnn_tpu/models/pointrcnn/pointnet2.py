@@ -176,12 +176,18 @@ class SharedMLP(nn.Module):
             factored = factored_max
         if factored is not None:
             feats, grouped_xyz, gather = factored
+            # grouped_xyz may be a zero-arg THUNK (lazy centered gather from
+            # _fused_group_mlp) or a plain array from other callers
+            gx_fn = (
+                grouped_xyz if callable(grouped_xyz)
+                else (None if grouped_xyz is None else (lambda: grouped_xyz))
+            )
             if (
                 pool
                 and not train
                 and ball is not None
                 and feats is not None
-                and grouped_xyz is not None
+                and gx_fn is not None
                 and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
                 and not kernel_disabled("sa")
                 and not self.is_initializing()
@@ -192,7 +198,7 @@ class SharedMLP(nn.Module):
                 # operands of the fallback path below are dead under jit
                 # and DCE'd.
                 return self._fused_ball_pool(ball, feats)
-            nxyz = 0 if grouped_xyz is None else 3
+            nxyz = 0 if gx_fn is None else 3
             nfeat = 0 if feats is None else feats.shape[-1]
             dense0 = _SlicedDense(
                 nxyz + nfeat, self.channels[0], use_bias=not self.use_bn,
@@ -201,17 +207,17 @@ class SharedMLP(nn.Module):
             if feats is not None:
                 v = dense0(feats, cols=(nxyz, nxyz + nfeat))  # (B, N, C0) + bias
                 x = gather(v)  # (B, M, S, C0)
-                if grouped_xyz is not None:
+                if gx_fn is not None:
                     x = x + dense0(
-                        grouped_xyz.astype(self.dtype), cols=(0, 3),
+                        gx_fn().astype(self.dtype), cols=(0, 3),
                         with_bias=False,
                     )
             else:
-                x = dense0(grouped_xyz.astype(self.dtype), cols=(0, 3))
+                x = dense0(gx_fn().astype(self.dtype), cols=(0, 3))
             if (
                 pool
                 and not train
-                and jax.default_backend() == "tpu"
+                and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
                 and not kernel_disabled("pool")
                 and not self.is_initializing()
                 and self.channels[0] >= 64
@@ -356,13 +362,22 @@ def _fused_group_mlp(
     if train and use_bn:
         g = sample_and_group(xyz, features, new_xyz, radius, nsample, use_xyz)
         return jnp.max(mlp_mod(g, train), axis=2)
-    idx = ball_query(new_xyz, xyz, radius, nsample)  # (B, M, S) int32
-    gx = None
-    if use_xyz:
-        gx = group_points(xyz, idx) - new_xyz[:, :, None, :]  # f32, C=3
+    # idx/gx are LAZY: when the sa mega-kernel path is taken they are
+    # never computed (under jit they would be DCE'd anyway, but eager
+    # apply() — tests, debugging — would pay the full ball_query + gather)
+    def _idx():
+        if "idx" not in _c:
+            _c["idx"] = ball_query(new_xyz, xyz, radius, nsample)
+        return _c["idx"]
+
+    _c = {}
+    gx = (
+        (lambda: group_points(xyz, _idx()) - new_xyz[:, :, None, :])
+        if use_xyz else None
+    )
     return mlp_mod(
         train=train,
-        factored_max=(features, gx, lambda v: group_points(v, idx)),
+        factored_max=(features, gx, lambda v: group_points(v, _idx())),
         ball=(xyz, new_xyz, radius, nsample),
     )
 

@@ -33,6 +33,25 @@ from ...ops.conv3d_packed import (
 )
 
 
+def _fold_bn_affine(scale, bias, mean, var, eps=1e-5):
+    """Eval BN as a (mul, add) affine — single definition for every fused
+    kernel path (drift here would silently desynchronize them)."""
+    mul = scale * jax.lax.rsqrt(var + eps)
+    return mul, bias - mean * mul
+
+
+def _amortize_rows(work_per_row, n_rows, target=1500, cap=8):
+    """Rows per Pallas grid step so each step's dot has >= `target` rows
+    (below that the per-step overhead dominates — measured, see
+    PackedConvBN3d). `work_per_row` is the DOT's row count contribution per
+    N row: output positions for the convs (hw // stride^2), input positions
+    for the deconv (its 9 dots run over input rows)."""
+    rows = 1
+    while work_per_row * rows < target and n_rows % (rows * 2) == 0 and rows < cap:
+        rows *= 2
+    return rows
+
+
 def _bn(train: bool, name=None, dtype=None):
     # dtype: compute dtype for scale/shift (bf16 on TPU halves the HBM
     # traffic of every BN output and the residual adds that consume them);
@@ -108,9 +127,7 @@ class ConvBN(nn.Module):
                 from ...ops.pallas.packed_conv import wpacked_conv_bn
 
                 kernel = conv(raw=True)
-                scale, bias, mean, var = bn(raw=True)
-                mul = scale * jax.lax.rsqrt(var + bn.epsilon)
-                add = bias - mean * mul
+                mul, add = _fold_bn_affine(*bn(raw=True), eps=bn.epsilon)
                 dt = self.dtype
                 return wpacked_conv_bn(
                     x.astype(dt),
@@ -499,9 +516,7 @@ class PackedConvBN3d(nn.Module):
                     name="BatchNorm_0",
                 )
                 kernel = conv(raw=True)
-                scale, bias, mean, var = bn(raw=True)
-                mulv = scale * jax.lax.rsqrt(var + bn.epsilon)
-                addv = bias - mean * mulv
+                mulv, addv = _fold_bn_affine(*bn(raw=True), eps=bn.epsilon)
                 dt = self.dtype
                 return cost_volume_conv_bn(
                     lf.astype(dt), rf.astype(dt),
@@ -533,9 +548,7 @@ class PackedConvBN3d(nn.Module):
         # restore the amortization at small H*W instead of falling back to
         # XLA's HBM-windowed form
         eff = hw // (self.stride * self.stride)
-        rows = 1
-        while eff * rows < 1500 and n_rows % (rows * 2) == 0 and rows < 8:
-            rows *= 2
+        rows = _amortize_rows(eff, n_rows)
         use_pallas = (
             not train
             and self.stride in (1, 2)
@@ -551,9 +564,7 @@ class PackedConvBN3d(nn.Module):
             )
 
             kernel = conv(raw=True)
-            scale, bias, mean, var = bn(raw=True)
-            mul = scale * jax.lax.rsqrt(var + bn.epsilon)
-            add = bias - mean * mul
+            mul, add = _fold_bn_affine(*bn(raw=True), eps=bn.epsilon)
             dt = self.dtype
             if self.stride == 2:
                 assert not split and residual is None and not out_repack
@@ -664,13 +675,9 @@ class Hourglass(nn.Module):
                     from ...ops.pallas.packed_conv import packed_deconv_bn
 
                     kernel = dc(raw=True)
-                    scale, bias, mean, var = bn(raw=True)
-                    mul = scale * jax.lax.rsqrt(var + bn.epsilon)
-                    add = bias - mean * mul
-                    rows = 1
-                    n_rows = v.shape[0]
-                    while hw * rows < 1500 and n_rows % (rows * 2) == 0 and rows < 8:
-                        rows *= 2
+                    mul, add = _fold_bn_affine(*bn(raw=True), eps=bn.epsilon)
+                    # input-hw: the deconv's 9 banded dots run over INPUT rows
+                    rows = _amortize_rows(hw, v.shape[0])
                     dt = self.dtype
                     return packed_deconv_bn(
                         v.astype(dt),

@@ -19,4 +19,5 @@ import os
 
 
 def kernel_disabled(tag: str) -> bool:
-    return tag in os.environ.get("DISPRCNN_PALLAS_DISABLE", "").split(",")
+    raw = os.environ.get("DISPRCNN_PALLAS_DISABLE", "")
+    return tag in {t.strip() for t in raw.split(",") if t.strip()}

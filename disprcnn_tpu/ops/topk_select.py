@@ -1,4 +1,4 @@
-"""Exact large-k top-k via threshold bisection + one-hot compaction.
+"""Exact large-k top-k via threshold bisection + searchsorted compaction.
 
 `jax.lax.top_k` lowers to a FULL variadic sort on TPU (verified for this
 jax in ops/points.three_nn's investigation). The SRPN proposal selection
@@ -6,7 +6,7 @@ needs the top pre_nms_top_n=6000 of ~119k anchor scores — sorting 119k
 rows to keep 5% of them. This computes the same result as lax.top_k
 (same set, same descending order, same lowest-index tie resolution) with:
 
-1. 24 bisection passes on the float bit pattern to find the k-th value
+1. 31 bisection passes on the float bit pattern to find the k-th value
    (scores are softmax probs >= 0, whose IEEE-754 bits order monotonically);
 2. an exclusive-prefix-count compaction, inverted with searchsorted over
    the (monotone) cumulative count — 17 rounds of (B, k) gathers, no
