@@ -42,10 +42,10 @@ def run(name, fn):
         traceback.print_exc()
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", default="")
-    skip = set(ap.parse_args().skip.split(","))
+    skip = set(ap.parse_args(argv).skip.split(","))
 
     import jax
 

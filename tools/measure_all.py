@@ -31,10 +31,23 @@ def main():
             traceback.print_exc()
         print(f"===== {name} done =====", flush=True)
 
+    import tools.kernel_smoke as ks
     import tools.profile_stage3 as ps3
     import tools.profile_pipeline as pp
     import bench
 
+    # kernel smoke FIRST: a Mosaic rejection gets attributed to a kernel
+    # name instead of failing a 2-minute pipeline compile (kernel_smoke
+    # sys.exits on failure — catch and continue so the XLA-fallback
+    # measurements still happen; bisect later with DISPRCNN_PALLAS_DISABLE)
+    def smoke():
+        try:
+            ks.main([])
+        except SystemExit as e:
+            if e.code:
+                raise RuntimeError(f"kernel smoke failures (rc={e.code})")
+
+    run("kernel_smoke", smoke)
     run("stage3", ps3.main)
     run("pipeline", pp.main)
     run("bench", lambda: bench.main(pairs=ap.parse_args().pairs))
