@@ -49,7 +49,7 @@ def main():
 
     run("kernel_smoke", smoke)
     run("stage3", ps3.main)
-    run("pipeline", pp.main)
+    run("pipeline", lambda: pp.main([]))
     run("bench", lambda: bench.main(pairs=ap.parse_args().pairs))
     run("bench8", lambda: bench.main(pairs=8))
 

@@ -25,11 +25,11 @@ def timeit(fn, *args, n=20, warmup=2):
     return device_timeit(fn, *args, n=n, warmup=warmup)
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--trace-dir", default=None)
     p.add_argument("--max-det", type=int, default=16)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax
 
