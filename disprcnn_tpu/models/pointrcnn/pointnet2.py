@@ -19,6 +19,15 @@ import jax.numpy as jnp
 # tests set this True to run the fused-pool Pallas kernel interpreted on CPU
 _FORCE_INTERPRET = False
 
+
+def _sa_min_c0() -> int:
+    """Channel gate for the fused SA kernels (DISPRCNN_SA_MIN_C0 overrides;
+    64 by default — below that the MXU dots are lane-starved and the win is
+    unmeasured). Read at trace time for on-chip A/B without code edits."""
+    import os
+
+    return int(os.environ.get("DISPRCNN_SA_MIN_C0", "64"))
+
 from ...ops.pallas import kernel_disabled
 from ...ops.points import (
     ball_query,
@@ -191,7 +200,7 @@ class SharedMLP(nn.Module):
                 and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
                 and not kernel_disabled("sa")
                 and not self.is_initializing()
-                and self.channels[0] >= 64
+                and self.channels[0] >= _sa_min_c0()
             ):
                 # whole-scale mega-kernel: ball query + gathers + MLP + max
                 # in one VMEM pass (ops/pallas/sa_fused.py). The idx/gx
@@ -220,7 +229,7 @@ class SharedMLP(nn.Module):
                 and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
                 and not kernel_disabled("pool")
                 and not self.is_initializing()
-                and self.channels[0] >= 64
+                and self.channels[0] >= _sa_min_c0()
             ):
                 # fused grouped MLP + max (ops/pallas/grouped_mlp.py): the
                 # (B, M, S, C) activations of every layer otherwise round-

@@ -54,6 +54,9 @@ def test_psmnet_full_forward_fused_interpret(rng):
     # shrinking on trained (peaked) volumes. The gate below catches wiring
     # bugs (which produce range-scale garbage), not association drift.
     err = np.abs(got - want)
+    # bf16 association drift is never exactly zero: identical outputs would
+    # mean the kernel gates silently stopped engaging
+    assert err.max() > 0, "fused kernels did not engage"
     assert err.mean() < 0.5, err.mean()
     assert np.percentile(err, 99) < 2.0, np.percentile(err, 99)
     assert err.max() < 5.0, err.max()
