@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-ROWS = 8  # output rows per grid step
+ROWS = 32  # output rows per grid step: at (B=16, 224^2, D=96) the per-
+# step overhead dominated the old 8-row stripes (448 steps x ~3 us for
+# ~0.5 us of dots each); 32 rows cuts the grid to 112 steps and still
+# keeps the (ROWS, w4, D) block + (ROWS, W) output well inside VMEM
 
 
 def interp_matrix(n_in: int, n_out: int) -> jnp.ndarray:
