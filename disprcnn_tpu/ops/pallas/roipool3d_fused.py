@@ -21,48 +21,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(s, max_dis, s_tile, *refs):
+def _kernel(s, max_dis, s_tile, rboxes, *refs):
     pts, feats, box, out, emptyref = refs
     n = pts.shape[1]
-    cf = feats.shape[-1]
 
     p = pts[0].astype(jnp.float32)  # (N, 3)
     x, y, z = p[:, 0].reshape(1, n), p[:, 1].reshape(1, n), p[:, 2].reshape(1, n)
-    b = box[0, 0].astype(jnp.float32)  # (7,)
-    cx, by, cz, h, w, l, ry = (b[i] for i in range(7))
-    cy = by - h * 0.5
-    dx, dy, dz = x - cx, y - cy, z - cz
-    cosa, sina = jnp.cos(ry), jnp.sin(ry)
-    x_rot = dx * cosa - dz * sina
-    z_rot = dx * sina + dz * cosa
-    mask = (
-        (jnp.abs(dx) <= max_dis)
-        & (jnp.abs(dy) <= h * 0.5)
-        & (jnp.abs(dz) <= max_dis)
-        & (x_rot >= -l * 0.5) & (x_rot <= l * 0.5)
-        & (z_rot >= -w * 0.5) & (z_rot <= w * 0.5)
-    ).astype(jnp.float32)  # (1, N)
-
     tri = (
         jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     ).astype(jnp.float32)
-    incl = jnp.dot(mask, tri, preferred_element_type=jnp.float32)  # (1, N)
-    rank = incl - mask
-    cnt = incl[0, n - 1]
-
     vals = jnp.concatenate([p, feats[0].astype(jnp.float32)], axis=-1)
-    # (slots are processed in s_tile chunks to bound the (st, N) one-hot)
-    for t0 in range(0, s, s_tile):
-        st = min(s_tile, s - t0)
-        slots = t0 + jax.lax.broadcasted_iota(jnp.float32, (st, 1), 0)
-        # reference tail cycling: slot % cnt once past the found count
-        cyc = slots - cnt * jnp.floor(slots / jnp.maximum(cnt, 1.0))
-        tgt = jnp.where(slots < cnt, slots, cyc)
-        onehot = (rank == tgt) * mask  # (st, N) f32 0/1, empty box -> all 0
-        g = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
-        out[0, t0 : t0 + st] = g.astype(out.dtype)
-    emptyref[0, 0] = (cnt == 0.0).astype(jnp.float32)
+
+    # rboxes boxes per grid step: the per-step work of ONE box (a few
+    # hundred-kFLOP dots) is far below the grid-step overhead
+    for r in range(rboxes):
+        b = box[0, r].astype(jnp.float32)  # (7,)
+        cx, by, cz, h, w, l, ry = (b[i] for i in range(7))
+        cy = by - h * 0.5
+        dx, dy, dz = x - cx, y - cy, z - cz
+        cosa, sina = jnp.cos(ry), jnp.sin(ry)
+        x_rot = dx * cosa - dz * sina
+        z_rot = dx * sina + dz * cosa
+        mask = (
+            (jnp.abs(dx) <= max_dis)
+            & (jnp.abs(dy) <= h * 0.5)
+            & (jnp.abs(dz) <= max_dis)
+            & (x_rot >= -l * 0.5) & (x_rot <= l * 0.5)
+            & (z_rot >= -w * 0.5) & (z_rot <= w * 0.5)
+        ).astype(jnp.float32)  # (1, N)
+
+        incl = jnp.dot(mask, tri, preferred_element_type=jnp.float32)
+        rank = incl - mask
+        cnt = incl[0, n - 1]
+
+        # (slots are processed in s_tile chunks to bound the (st, N) one-hot)
+        for t0 in range(0, s, s_tile):
+            st = min(s_tile, s - t0)
+            slots = t0 + jax.lax.broadcasted_iota(jnp.float32, (st, 1), 0)
+            # reference tail cycling: slot % cnt once past the found count
+            cyc = slots - cnt * jnp.floor(slots / jnp.maximum(cnt, 1.0))
+            tgt = jnp.where(slots < cnt, slots, cyc)
+            onehot = (rank == tgt) * mask  # (st, N), empty box -> all 0
+            g = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
+            out[r, t0 : t0 + st] = g.astype(out.dtype)
+        emptyref[r, 0] = (cnt == 0.0).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("sampled_pts_num", "max_dis", "interpret"))
@@ -82,23 +85,29 @@ def roipool3d_fused(
     s = sampled_pts_num
     cf = feats.shape[-1]
     s_tile = min(s, 256)
+    rboxes = 1
+    while rboxes < m and m % (rboxes * 2) == 0 and rboxes < 8:
+        rboxes *= 2
+    gsteps = m // rboxes
 
-    grid = (bsz * m,)
+    grid = (bsz * gsteps,)
     pooled, empty = pl.pallas_call(
-        partial(_kernel, s, float(max_dis), s_tile),
+        partial(_kernel, s, float(max_dis), s_tile, rboxes),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n, 3), lambda i: (i // m, 0, 0),
+            pl.BlockSpec((1, n, 3), lambda i: (i // gsteps, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, cf), lambda i: (i // m, 0, 0),
+            pl.BlockSpec((1, n, cf), lambda i: (i // gsteps, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 7), lambda i: (i // m, i % m, 0),
+            pl.BlockSpec((1, rboxes, 7),
+                         lambda i: (i // gsteps, i % gsteps, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, s, 3 + cf), lambda i: (i, 0, 0),
+            pl.BlockSpec((rboxes, s, 3 + cf), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rboxes, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz * m, s, 3 + cf), jnp.float32),

@@ -464,6 +464,15 @@ def test_roipool3d_fused_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(got_e), np.asarray(want_e))
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
                                rtol=1e-5, atol=1e-5)
+    # m=8 engages the multi-box grid steps (rboxes > 1)
+    boxes8 = jnp.concatenate([boxes, boxes + jnp.asarray(
+        [0.5, 0, -0.5, 0, 0, 0, 0.2]), boxes[:, :2] * 0.5], axis=1)
+    want_p, want_e = roipool3d(pts, feats, boxes8, sampled_pts_num=s)
+    got_p, got_e = roipool3d_fused(pts, feats, boxes8, sampled_pts_num=s,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_e), np.asarray(want_e))
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_fp_fused_matches_xla(monkeypatch, rng):
