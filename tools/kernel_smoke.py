@@ -1,10 +1,13 @@
-"""On-chip smoke for every round-2 Pallas kernel, one at a time.
+"""On-chip smoke + parity for every round-2 Pallas kernel, one at a time.
 
 None of these kernels has met real Mosaic (they were developed against a
 dead tunnel, interpret-verified only). Run THIS before measure_all: each
 kernel compiles+executes standalone at its production geometry with a
 try/except, so a Mosaic rejection is attributed to a kernel name instead
-of failing a 2-minute pipeline compile. Exits 0 if all pass.
+of failing a 2-minute pipeline compile. Where an XLA fallback exists the
+outputs are also compared ON-CHIP — catching silent miscompiles
+(pltpu.roll semantics, layout bugs) that a crash-only smoke would miss.
+Exits 0 if all pass.
 
 Usage: python tools/kernel_smoke.py [--skip a,b]
 """
@@ -30,6 +33,16 @@ def _maybe_interpret(fn):
     return functools.partial(fn, interpret=True) if _INTERPRET else fn
 
 FAILED = []
+
+
+def check(name, got, want, tol=3e-2):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    denom = np.maximum(np.abs(want), 1.0)
+    rel = float(np.max(np.abs(got - want) / denom))
+    print(f"    max rel err vs XLA fallback: {rel:.2e}", flush=True)
+    if not rel < tol:
+        raise AssertionError(f"{name}: on-chip parity {rel:.3e} >= {tol}")
 
 
 def run(name, fn):
@@ -70,9 +83,15 @@ def main(argv=None):
         mul = put(np.ones(128), jnp.float32)
         add = put(np.zeros(128), jnp.float32)
 
+        from disprcnn_tpu.ops.conv3d_packed import conv3d_packed_r4
+
         def f():
             w2 = pack_kernel(k, 4)
             y = packed_conv_bn(x4, w2, mul, add, 6, 4, relu=True)
+            want = jnp.maximum(
+                conv3d_packed_r4(x4, k, 4, 6).astype(jnp.float32) * mul + add,
+                0)
+            check("conv3d", y, want)
             y2 = packed_conv_bn(x4, w2, mul, add, 6, 4, relu=True,
                                 residual=y)
             float(jnp.sum(y2.astype(jnp.float32)))
@@ -93,49 +112,89 @@ def main(argv=None):
         from disprcnn_tpu.ops.pallas import packed_conv as _pc2
         packed_conv_bn_s2 = _maybe_interpret(_pc2.packed_conv_bn_s2)
 
+        from disprcnn_tpu.ops.conv3d_packed import conv3d_packed_strided_r4
+
         k2 = put(r.normal(size=(3, 3, 3, 32, 64)) * 0.1)
-        run("s2 56->28", lambda: float(jnp.sum(packed_conv_bn_s2(
-            put(r.normal(size=(96, 56, 56, 128))),
-            pack_kernel_strided(k2, 4),
-            put(np.ones(128), jnp.float32), put(np.zeros(128), jnp.float32),
-            6, 4, relu=True).astype(jnp.float32))))
+        xs2 = put(r.normal(size=(96, 56, 56, 128)))
+
+        def fs2():
+            got = packed_conv_bn_s2(
+                xs2, pack_kernel_strided(k2, 4),
+                put(np.ones(128), jnp.float32),
+                put(np.zeros(128), jnp.float32), 6, 4, relu=True)
+            want = jnp.maximum(conv3d_packed_strided_r4(xs2, k2, 4, 6), 0)
+            check("s2", got, want)
+
+        run("s2 56->28", fs2)
 
     if "deconv" not in skip:
         from disprcnn_tpu.ops.conv3d_packed import pack_kernel_transposed
         from disprcnn_tpu.ops.pallas import packed_conv as _pc3
         packed_deconv_bn = _maybe_interpret(_pc3.packed_deconv_bn)
 
+        from disprcnn_tpu.ops.conv3d_packed import (
+            conv3d_packed_transposed_r4,
+        )
+
         kd = put(r.normal(size=(3, 3, 3, 64, 64)) * 0.1)
-        run("deconv 14->28 rows=4", lambda: float(jnp.sum(packed_deconv_bn(
-            put(r.normal(size=(96, 14, 14, 64))),
-            pack_kernel_transposed(kd, 1),
-            put(np.ones(128), jnp.float32), put(np.zeros(128), jnp.float32),
-            6, 1, relu=True, rows=4).astype(jnp.float32))))
+        xdc = put(r.normal(size=(96, 14, 14, 64)))
+
+        def fdc():
+            got = packed_deconv_bn(
+                xdc, pack_kernel_transposed(kd, 1),
+                put(np.ones(128), jnp.float32),
+                put(np.zeros(128), jnp.float32), 6, 1, relu=True, rows=4)
+            want = jnp.maximum(conv3d_packed_transposed_r4(xdc, kd, 1, 6), 0)
+            check("deconv", got, want)
+
+        run("deconv 14->28 rows=4", fdc)
 
     if "cv" not in skip:
         from disprcnn_tpu.ops.conv3d_packed import pack_kernel
         from disprcnn_tpu.ops.pallas import packed_conv as _pc4
         cost_volume_conv_bn = _maybe_interpret(_pc4.cost_volume_conv_bn)
 
+        from disprcnn_tpu.models.psmnet.psmnet import (
+            build_cost_volume_packed,
+        )
+        from disprcnn_tpu.ops.conv3d_packed import conv3d_packed_r4
+
         kcv = put(r.normal(size=(3, 3, 3, 64, 32)) * 0.1)
-        run("cost-volume conv", lambda: float(jnp.sum(cost_volume_conv_bn(
-            put(r.normal(size=(16, 56, 56, 32))),
-            put(r.normal(size=(16, 56, 56, 32))),
-            pack_kernel(kcv[:, :, :, :32, :], 4),
-            pack_kernel(kcv[:, :, :, 32:, :], 4),
-            put(np.ones(128), jnp.float32), put(np.zeros(128), jnp.float32),
-            6, 4, -12, relu=True).astype(jnp.float32))))
+        lfcv = put(r.normal(size=(16, 56, 56, 32)))
+        rfcv = put(r.normal(size=(16, 56, 56, 32)))
+
+        def fcv():
+            got = cost_volume_conv_bn(
+                lfcv, rfcv,
+                pack_kernel(kcv[:, :, :, :32, :], 4),
+                pack_kernel(kcv[:, :, :, 32:, :], 4),
+                put(np.ones(128), jnp.float32),
+                put(np.zeros(128), jnp.float32), 6, 4, -12, relu=True)
+            cvp = build_cost_volume_packed(lfcv, rfcv, -12, 12, 4)
+            want = jnp.maximum(conv3d_packed_r4(cvp, kcv, 4, 6), 0)
+            check("cv", got, want)
+
+        run("cost-volume conv", fcv)
 
     if "wconv" not in skip:
         from disprcnn_tpu.ops.conv3d_packed import pack_kernel_w
         from disprcnn_tpu.ops.pallas import packed_conv as _pc5
         wpacked_conv_bn = _maybe_interpret(_pc5.wpacked_conv_bn)
 
+        from disprcnn_tpu.ops.conv3d_packed import conv2d_wpacked
+
         kw = put(r.normal(size=(3, 3, 32, 32)) * 0.1)
-        run("wpacked conv", lambda: float(jnp.sum(wpacked_conv_bn(
-            put(r.normal(size=(32, 112, 28, 128))), pack_kernel_w(kw, 4),
-            put(np.ones(128), jnp.float32), put(np.zeros(128), jnp.float32),
-            4, relu=True).astype(jnp.float32))))
+        xw = put(r.normal(size=(32, 112, 28, 128)))
+
+        def fw():
+            got = wpacked_conv_bn(
+                xw, pack_kernel_w(kw, 4),
+                put(np.ones(128), jnp.float32),
+                put(np.zeros(128), jnp.float32), 4, relu=True)
+            want = jnp.maximum(conv2d_wpacked(xw, kw, 4), 0)
+            check("wconv", got, want)
+
+        run("wpacked conv", fw)
 
     if "sa" not in skip:
         from disprcnn_tpu.ops.pallas import sa_fused as _sf
@@ -172,20 +231,43 @@ def main(argv=None):
         from disprcnn_tpu.ops.pallas import roipool3d_fused as _rf
         roipool3d_fused = _maybe_interpret(_rf.roipool3d_fused)
 
+        import os
+
         boxes = np.tile(np.array([[0.0, 1, 0, 2, 3, 3, 0.4]], np.float32),
                         (16, 16, 1))
-        run("roipool3d fused (16x16x768, S=512)", lambda: float(jnp.sum(
-            roipool3d_fused(
-                put(r.uniform(-4, 4, (16, 768, 3)), jnp.float32),
-                put(r.normal(size=(16, 768, 130)), jnp.float32),
-                put(boxes, jnp.float32), 512)[0])))
+        rp_pts = put(r.uniform(-4, 4, (16, 768, 3)), jnp.float32)
+        rp_f = put(r.normal(size=(16, 768, 130)), jnp.float32)
+        rp_b = put(boxes, jnp.float32)
+
+        def frp():
+            from disprcnn_tpu.ops.roipool3d import roipool3d
+
+            got, ge = roipool3d_fused(rp_pts, rp_f, rp_b, 512)
+            os.environ["DISPRCNN_PALLAS_DISABLE"] = "roipool"
+            try:
+                want, we = roipool3d(rp_pts, rp_f, rp_b, sampled_pts_num=512)
+            finally:
+                os.environ["DISPRCNN_PALLAS_DISABLE"] = ""
+            np.testing.assert_array_equal(np.asarray(ge), np.asarray(we))
+            check("roipool3d", got, want, tol=1e-3)
+
+        run("roipool3d fused (16x16x768, S=512)", frp)
 
     if "topk" not in skip:
         from disprcnn_tpu.ops.topk_select import topk_threshold
 
+        import jax as _jx
+
         s = put(r.uniform(0, 1, (4, 119000)), jnp.float32)
-        run("topk threshold 6000-of-119k", lambda: float(jnp.sum(
-            topk_threshold(s, 6000)[0])))
+
+        def ftk():
+            gv, gi = topk_threshold(s, 6000)
+            wv, wi = _jx.lax.top_k(s, 6000)
+            np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+            np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
+            print("    exact match vs lax.top_k", flush=True)
+
+        run("topk threshold 6000-of-119k", ftk)
 
     print(f"\n{'ALL OK' if not FAILED else 'FAILED: ' + ','.join(FAILED)}",
           flush=True)
