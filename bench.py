@@ -74,8 +74,176 @@ def _require_backend(wait_s: float = 300.0):
     os._exit(1)
 
 
+def _canary_kernels():
+    """Compile+run each Pallas kernel family at tiny shapes and CHECK its
+    value against the XLA fallback; disable (via DISPRCNN_PALLAS_DISABLE /
+    DISPRCNN_TOPK_SELECT) any family that crashes or miscompiles. The
+    round-2 kernels were developed against a dead tunnel (interpret-mode
+    verified only) — this keeps the headline bench producing a valid
+    number even if one meets a Mosaic surprise, at the cost of that
+    family's speedup."""
+    import os
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    bad = []
+    r = np.random.default_rng(0)
+
+    def close(a, b, tol=5e-2):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        return float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1.0))) < tol
+
+    def try_family(tag, fn):
+        try:
+            if not fn():
+                raise AssertionError("value mismatch vs XLA fallback")
+        except Exception as e:  # noqa: BLE001
+            bad.append(tag)
+            print(f"bench: kernel family '{tag}' disabled ({e!r:.200s})",
+                  file=sys.stderr, flush=True)
+
+    from disprcnn_tpu.ops import conv3d_packed as cp
+    from disprcnn_tpu.ops.pallas import packed_conv as pc
+
+    x4 = jnp.asarray(r.normal(size=(8, 8, 8, 16)), jnp.bfloat16)
+    k3 = jnp.asarray(r.normal(size=(3, 3, 3, 4, 4)) * 0.2, jnp.bfloat16)
+    one = jnp.ones((16,), jnp.float32)
+    zero = jnp.zeros((16,), jnp.float32)
+
+    try_family("conv3d", lambda: close(
+        pc.packed_conv_bn(x4, cp.pack_kernel(k3, 4), one, zero, 2, 4,
+                          relu=True, rows=2),
+        jnp.maximum(cp.conv3d_packed_r4(x4, k3, 4, 2), 0)))
+    k32 = jnp.asarray(r.normal(size=(3, 3, 3, 4, 8)) * 0.2, jnp.bfloat16)
+    try_family("s2", lambda: close(
+        pc.packed_conv_bn_s2(x4, cp.pack_kernel_strided(k32, 4), one, zero,
+                             2, 4, relu=True),
+        jnp.maximum(cp.conv3d_packed_strided_r4(x4, k32, 4, 2), 0)))
+    kt = jnp.asarray(r.normal(size=(3, 3, 3, 16, 2)) * 0.2, jnp.bfloat16)
+    try_family("deconv", lambda: close(
+        pc.packed_deconv_bn(x4, cp.pack_kernel_transposed(kt, 1),
+                            jnp.ones((4,), jnp.float32),
+                            jnp.zeros((4,), jnp.float32), 2, 1),
+        cp.conv3d_packed_transposed_r4(x4, kt, 1, 2)))
+
+    from disprcnn_tpu.models.psmnet.psmnet import build_cost_volume_packed
+
+    lf = jnp.asarray(r.normal(size=(2, 8, 8, 4)), jnp.bfloat16)
+    rf = jnp.asarray(r.normal(size=(2, 8, 8, 4)), jnp.bfloat16)
+    kcv = jnp.asarray(r.normal(size=(3, 3, 3, 8, 4)) * 0.2, jnp.bfloat16)
+    try_family("cv", lambda: close(
+        pc.cost_volume_conv_bn(
+            lf, rf, cp.pack_kernel(kcv[:, :, :, :4, :], 4),
+            cp.pack_kernel(kcv[:, :, :, 4:, :], 4), one, zero, 2, 4, -4,
+            relu=True),
+        jnp.maximum(cp.conv3d_packed_r4(
+            build_cost_volume_packed(lf, rf, -4, 4, 4), kcv, 4, 2), 0)))
+
+    kw = jnp.asarray(r.normal(size=(3, 3, 4, 4)) * 0.2, jnp.bfloat16)
+    try_family("wconv", lambda: close(
+        pc.wpacked_conv_bn(x4[:, :, :, :16], cp.pack_kernel_w(kw, 4),
+                           one, zero, 4),
+        cp.conv2d_wpacked(x4[:, :, :, :16], kw, 4)))
+
+    from disprcnn_tpu.ops.pallas.grouped_mlp import grouped_mlp_max
+    from disprcnn_tpu.ops.pallas.sa_fused import sa_ball_mlp_max
+    from disprcnn_tpu.ops.pallas.fp_fused import fp_fused
+    from disprcnn_tpu.ops.pallas.roipool3d_fused import roipool3d_fused
+    from disprcnn_tpu.ops.roipool3d import roipool3d
+
+    # non-conv kernels: existence/finite checks at tiny shapes (their exact
+    # oracles need model plumbing; the integration tests cover the algebra)
+    w8 = ((jnp.asarray(r.normal(size=(64, 64)) * 0.2, jnp.float32),
+           jnp.zeros((64,), jnp.float32)),)
+    try_family("pool", lambda: bool(np.isfinite(np.asarray(
+        grouped_mlp_max(
+            jnp.asarray(r.normal(size=(16, 8, 64)), jnp.bfloat16),
+            jnp.ones((64,), jnp.float32), jnp.zeros((64,), jnp.float32),
+            w8), np.float32)).all()))
+    try_family("sa", lambda: bool(np.isfinite(np.asarray(
+        sa_ball_mlp_max(
+            jnp.asarray(r.normal(size=(2, 64, 3)) * 2, jnp.float32),
+            jnp.asarray(r.normal(size=(2, 16, 3)) * 2, jnp.float32),
+            jnp.asarray(r.normal(size=(2, 64, 64)), jnp.bfloat16),
+            jnp.asarray(r.normal(size=(3, 64)) * 0.2, jnp.float32),
+            jnp.ones((64,), jnp.float32), jnp.zeros((64,), jnp.float32),
+            w8, 1.5, 8), np.float32)).all()))
+    try_family("fp", lambda: bool(np.isfinite(np.asarray(
+        fp_fused(
+            jnp.asarray(r.normal(size=(2, 32, 3)) * 2, jnp.float32),
+            jnp.asarray(r.normal(size=(2, 16, 3)) * 2, jnp.float32),
+            jnp.asarray(r.normal(size=(2, 16, 32)), jnp.bfloat16),
+            jnp.asarray(r.normal(size=(2, 32, 32)), jnp.bfloat16),
+            w8), np.float32)).all()))
+
+    rp_pts = jnp.asarray(r.uniform(-3, 3, (2, 32, 3)), jnp.float32)
+    rp_f = jnp.asarray(r.normal(size=(2, 32, 4)), jnp.float32)
+    rp_b = jnp.asarray(
+        np.tile(np.array([[0.0, 1, 0, 2, 3, 3, 0.4]], np.float32), (2, 2, 1)))
+
+    def rp_check():
+        got, _ = roipool3d_fused(rp_pts, rp_f, rp_b, 16)
+        os.environ["DISPRCNN_PALLAS_DISABLE"] = (
+            os.environ.get("DISPRCNN_PALLAS_DISABLE", "") + ",roipool")
+        try:
+            want, _ = roipool3d(rp_pts, rp_f, rp_b, sampled_pts_num=16)
+        finally:
+            os.environ["DISPRCNN_PALLAS_DISABLE"] = ",".join(
+                t for t in os.environ["DISPRCNN_PALLAS_DISABLE"].split(",")
+                if t.strip() and t.strip() != "roipool")
+        return close(got, want, tol=1e-3)
+
+    try_family("roipool", rp_check)
+
+    from disprcnn_tpu.ops.pallas.softargmin import fused_softargmin
+
+    def sam_check():
+        c = jnp.asarray(r.normal(size=(2, 8, 8, 8)), jnp.float32)
+        got = fused_softargmin(c, (32, 32), -16, 16)
+        # XLA oracle: the einsum upsample + softmax + expectation
+        from disprcnn_tpu.ops.pallas.softargmin import interp_matrix
+
+        md = interp_matrix(8, 32)
+        mh = interp_matrix(8, 32)
+        mw = interp_matrix(8, 32)
+        y = jnp.einsum("bhwd,ed->bhwe", c, md)
+        y = jnp.einsum("bhwd,eh->bewd", y, mh)
+        y = jnp.einsum("bhwd,ew->bhed", y, mw)
+        p_ = jax.nn.softmax(y, axis=-1)
+        disp = jnp.arange(-16, 16, dtype=p_.dtype)
+        want = jnp.einsum("bhwd,d->bhw", p_, disp)
+        return close(got, want, tol=1e-2)
+
+    try_family("softargmin", sam_check)
+
+    from disprcnn_tpu.ops.topk_select import topk_threshold
+
+    def tk_check():
+        s = jnp.asarray(r.uniform(0, 1, (2, 3000)), jnp.float32)
+        gv, gi = topk_threshold(s, 200)
+        wv, wi = jax.lax.top_k(s, 200)
+        return bool((np.asarray(gi) == np.asarray(wi)).all())
+
+    try:
+        if not tk_check():
+            raise AssertionError("mismatch vs lax.top_k")
+    except Exception as e:  # noqa: BLE001
+        os.environ["DISPRCNN_TOPK_SELECT"] = "0"
+        print(f"bench: threshold top-k disabled ({e!r:.200s})",
+              file=sys.stderr, flush=True)
+
+    if bad:
+        prev = [t for t in os.environ.get(
+            "DISPRCNN_PALLAS_DISABLE", "").split(",") if t.strip()]
+        os.environ["DISPRCNN_PALLAS_DISABLE"] = ",".join(prev + bad)
+
+
 def main(pairs: int = 1):
     _require_backend()
+    _canary_kernels()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -843,8 +843,9 @@ class PSMNet(nn.Module):
         d_full = self.maxdisp - self.mindisp
 
         def regress(c):  # c: (B, H, W, D) channels-last disparity volume
-            if not train and (jax.default_backend() == "tpu"
-                              or _FORCE_INTERPRET):
+            if (not train
+                    and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
+                    and not kernel_disabled("softargmin")):
                 # fused Pallas upsample+softmax+expectation: the full-res
                 # (B, H, W, D) volume never hits HBM (eval only — the train
                 # path needs autodiff through the XLA ops below)

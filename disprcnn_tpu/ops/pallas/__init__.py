@@ -11,6 +11,7 @@ kernel that only ever ran in interpret mode meets real Mosaic. Tags:
   wconv    W-packed tower conv
   sa       whole-scale ball+gather+MLP+max
   pool     grouped-MLP+max (SharedMLP._fused_pool)
+  softargmin  fused upsample+softmax+soft-argmin
   fp       fused 3-NN interpolate + MLP (FPModule)
 """
 from __future__ import annotations
