@@ -51,7 +51,10 @@ def main():
             dev = jax.devices()[0]
             x = jax.device_put(jnp.ones((128, 128), jnp.bfloat16), dev)
             s = float(jnp.sum(jax.jit(lambda a: a @ a)(x)))
-            state["ok"] = s == 128.0 * 128.0
+            # ones @ ones = 128 per entry; sum = 128^3 (exact in bf16: 2^21)
+            state["ok"] = s == 128.0**3
+            if not state["ok"]:
+                state["err"] = f"matmul miscompute: sum={s}, want {128.0**3}"
         except Exception as e:  # noqa: BLE001 — report, don't raise in thread
             state["err"] = repr(e)
 
