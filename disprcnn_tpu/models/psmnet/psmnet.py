@@ -487,9 +487,9 @@ class PackedConvBN3d(nn.Module):
     @nn.compact
     def __call__(self, x4, train: bool = False, relu: bool = False,
                  residual=None, out_repack: bool = False, cost_volume=None):
-        """out_repack=True returns (B, H, W, Dg, G*Co) — the classif heads'
-        depth-major layout — written directly by the Pallas kernel's output
-        BlockSpec instead of a separate full-volume transpose.
+        """out_repack=True returns (B, H, W, Dg*G*Co) — the classif heads'
+        depth-major channel layout — written directly by the Pallas kernel's
+        output BlockSpec instead of a separate full-volume transpose.
 
         cost_volume=(lf, rf, mindisp4): x4 is ignored and the module IS the
         cost-volume build + first conv. On the eval TPU path the volume is
@@ -613,7 +613,9 @@ class PackedConvBN3d(nn.Module):
         y = nn.relu(y) if relu else y
         if out_repack:
             n, h, w = y.shape[:3]
-            y = y.reshape(n // self.dg, self.dg, h, w, -1).transpose(0, 2, 3, 1, 4)
+            y = (y.reshape(n // self.dg, self.dg, h, w, -1)
+                 .transpose(0, 2, 3, 1, 4)
+                 .reshape(n // self.dg, h, w, -1))
         return y
 
 

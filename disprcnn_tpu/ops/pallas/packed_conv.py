@@ -58,12 +58,15 @@ def _kernel_cv(dg, g, c, mind4, relu, *refs):
     c0 = winc
     for half, (src, w3) in enumerate(((lf, w3a), (rf, w3b))):
         v = src[0]
+        # Mosaic can only rotate 32-bit data along sublanes (bf16 packs
+        # sublane pairs): roll a f32 copy, cast back (right half only)
+        vroll = None if half == 0 else v.astype(jnp.float32)
         for s in range(g + 2):
             d = d_base + (s - 1)
             live = jnp.logical_and(d >= mind4, d < maxd4)
             m = jnp.logical_and(cols >= d, cols < w + d)
             m = jnp.logical_and(m, live).astype(v.dtype)
-            sl = v if half == 0 else pltpu.roll(v, d, axis=1)
+            sl = v if half == 0 else pltpu.roll(vroll, d, axis=1).astype(v.dtype)
             win3[1 : h + 1, :, c0 + s * c : c0 + (s + 1) * c] = sl * m
         zrow = jnp.zeros((1, w, winc), v.dtype)
         win3[0:1, :, c0 : 2 * winc] = zrow
@@ -234,21 +237,24 @@ def _kernel_s2(dg, g, ci, relu, rows, *refs):
     2i-1+dh / 2j-1+dw. Even/odd splits of the loaded block are pure value
     ops (VMEM relayouts), so the (G+1)Ci strided window never lands in HBM
     (conv3d_packed_strided_r4 materializes it per conv)."""
-    x, xp, w3, mul, add, out, _ = refs
+    x, xp, w3, mul, add, out, wwd, wtap = refs
     n = pl.program_id(0)
     h, w = x.shape[1], x.shape[2]
     h2, w2 = h // 2, w // 2
     winc = (g + 1) * ci
     co = w3.shape[-1]
 
-    outs = []
     for j in range(rows):
         gi = (n * rows + j) % dg
         prev_src = (xp[rows - 1] if j == 0 else x[j - 1])[:, :, g * ci - ci :]
         prev = jnp.where(gi == 0, jnp.zeros((), x.dtype), prev_src)
-        wd = jnp.concatenate([prev, x[j]], axis=-1)  # (h, w, (G+1)Ci)
-        vr = wd.reshape(h2, 2, w, winc)
-        xe, xo = vr[:, 0], vr[:, 1]
+        # Stage the lane-concat [prev | x] through a VMEM scratch ref:
+        # value-level concats of lane-offset slices trip Mosaic's
+        # "offset mismatch on non-concat dimension" (stores realign).
+        wwd[:, :, :ci] = prev
+        wwd[:, :, ci:] = x[j]
+        vr = wwd[...].reshape(h2, 2, w, winc)
+        xe, xo = vr[:, 0], vr[:, 1]  # axis 1 is untiled: free selects
         zrow = jnp.zeros((1, w, winc), x.dtype)
         planes = (
             jnp.concatenate([zrow, xo[:-1]], axis=0),  # dh=0: row 2i-1
@@ -256,27 +262,22 @@ def _kernel_s2(dg, g, ci, relu, rows, *refs):
             xo,                                        # dh=2: row 2i+1
         )
         acc = jnp.zeros((h2 * w2, co), jnp.float32)
-        zcol = jnp.zeros((h2, 1, winc), x.dtype)
         for dh in range(3):
             pr = planes[dh].reshape(h2, w2, 2, winc)
             ce, codd = pr[:, :, 0], pr[:, :, 1]
-            wtap = jnp.concatenate(
-                [
-                    jnp.concatenate([zcol, codd[:, :-1]], axis=1),  # dw=0
-                    ce,                                             # dw=1
-                    codd,                                           # dw=2
-                ],
-                axis=-1,
-            )  # (h2, w2, 3*(G+1)Ci)
+            # 3-tap window staged through scratch (same realign reason)
+            wtap[:, 1:, :winc] = codd[:, :-1]                       # dw=0
+            wtap[:, 0:1, :winc] = jnp.zeros((h2, 1, winc), x.dtype)
+            wtap[:, :, winc : 2 * winc] = ce                        # dw=1
+            wtap[:, :, 2 * winc :] = codd                           # dw=2
             acc = acc + jnp.dot(
-                wtap.reshape(h2 * w2, 3 * winc), w3[dh],
+                wtap[...].reshape(h2 * w2, 3 * winc), w3[dh],
                 preferred_element_type=jnp.float32,
             )
         y = acc * mul[0] + add[0]
         if relu:
             y = jnp.maximum(y, 0.0)
-        outs.append(y.reshape(h2, w2, co))
-    out[...] = jnp.stack(outs).astype(out.dtype)
+        out[j] = y.reshape(h2, w2, co).astype(out.dtype)
 
 
 @partial(jax.jit, static_argnames=("dg", "g", "relu", "rows", "interpret"))
@@ -323,7 +324,10 @@ def packed_conv_bn_s2(
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h // 2, w // 2, co), x4.dtype),
-        scratch_shapes=[pltpu.VMEM((8, 128), x4.dtype)],  # unused placeholder
+        scratch_shapes=[
+            pltpu.VMEM((h, w, winc), x4.dtype),           # [prev | x] lanes
+            pltpu.VMEM((h // 2, w // 2, 3 * winc), x4.dtype),  # 3-tap window
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024
         ),
@@ -601,10 +605,14 @@ def _conv_call(xs, w2s, mul, add, dg, g, relu, residual, rows, out_repack,
         args.append(residual)
 
     if out_repack:
+        # depth-major channels as a 4-D (B, H, W, Dg*Co) array: a 5-D
+        # (…, Dg, Co) block of (…, 1, Co) violates Mosaic's (8,128) minor-dim
+        # tiling rule (Dg=6 is neither 8-divisible nor full). Same memory
+        # order — block index i%dg lands at channel offset (i%dg)*Co.
         out_specs = pl.BlockSpec(
-            (1, h, w, 1, co), lambda i: (i // dg, 0, 0, i % dg, 0),
+            (1, h, w, co), lambda i: (i // dg, 0, 0, i % dg),
             memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((n // dg, h, w, dg, co), xs[0].dtype)
+        out_shape = jax.ShapeDtypeStruct((n // dg, h, w, dg * co), xs[0].dtype)
     else:
         out_specs = pl.BlockSpec((rows, h, w, co), lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)

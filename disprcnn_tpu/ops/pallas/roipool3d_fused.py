@@ -58,7 +58,9 @@ def _kernel(s, max_dis, s_tile, rboxes, *refs):
         # (slots are processed in s_tile chunks to bound the (st, N) one-hot)
         for t0 in range(0, s, s_tile):
             st = min(s_tile, s - t0)
-            slots = t0 + jax.lax.broadcasted_iota(jnp.float32, (st, 1), 0)
+            # Mosaic's tpu.iota only produces integers — iota int32, then cast
+            slots = t0 + jax.lax.broadcasted_iota(
+                jnp.int32, (st, 1), 0).astype(jnp.float32)
             # reference tail cycling: slot % cnt once past the found count
             cyc = slots - cnt * jnp.floor(slots / jnp.maximum(cnt, 1.0))
             tgt = jnp.where(slots < cnt, slots, cyc)

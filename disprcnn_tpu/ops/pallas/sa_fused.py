@@ -60,7 +60,8 @@ def _kernel(s, r2, mt, nlayers, *refs):
 
         # target rank per slot: s' for s' < cnt (the s'-th neighbour),
         # else 0 (repeat the first); empty ball -> select point 0
-        slots = jax.lax.broadcasted_iota(jnp.float32, (mt, s), 1)
+        # Mosaic's tpu.iota only produces integers — iota in int32, then cast
+        slots = jax.lax.broadcasted_iota(jnp.int32, (mt, s), 1).astype(jnp.float32)
         tgt = jnp.where(slots < cnt, slots, 0.0)  # (mt, s)
         onehot = (
             (rank[:, None, :] == tgt[:, :, None])

@@ -222,7 +222,7 @@ def test_packed_conv_bn_multirow_matches_single(rng):
 
 def test_packed_conv_bn_out_repack(rng):
     """out_repack=True must equal the rows=1 output reshaped/transposed to
-    the classif heads' depth-major (B, H, W, Dg, G*Co) layout."""
+    the classif heads' depth-major (B, H, W, Dg*G*Co) channel layout."""
     from disprcnn_tpu.ops.conv3d_packed import pack_depth, pack_kernel
     from disprcnn_tpu.ops.pallas.packed_conv import packed_conv_bn
 
@@ -236,7 +236,8 @@ def test_packed_conv_bn_out_repack(rng):
     w2 = pack_kernel(kern, G)
 
     base = packed_conv_bn(x4, w2, mul, add, DG, G, relu=True, interpret=True)
-    want = base.reshape(B, DG, H, W, G * CO).transpose(0, 2, 3, 1, 4)
+    want = (base.reshape(B, DG, H, W, G * CO).transpose(0, 2, 3, 1, 4)
+            .reshape(B, H, W, DG * G * CO))
     got = packed_conv_bn(x4, w2, mul, add, DG, G, relu=True, out_repack=True,
                          interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
