@@ -77,11 +77,11 @@ def _require_backend(wait_s: float = 300.0):
 def _canary_kernels():
     """Compile+run each Pallas kernel family at tiny shapes and CHECK its
     value against the XLA fallback; disable (via DISPRCNN_PALLAS_DISABLE /
-    DISPRCNN_TOPK_SELECT) any family that crashes or miscompiles. The
-    round-2 kernels were developed against a dead tunnel (interpret-mode
-    verified only) — this keeps the headline bench producing a valid
-    number even if one meets a Mosaic surprise, at the cost of that
-    family's speedup."""
+    DISPRCNN_TOPK_SELECT) any family that crashes or miscompiles. This
+    keeps the headline bench producing a valid number even if one meets a
+    Mosaic surprise, at the cost of that family's speedup. Returns the
+    list of families disabled (by the canary or pre-existing env), so the
+    bench JSON records which kernels the number was measured WITH."""
     import os
     import sys
 
@@ -239,15 +239,33 @@ def _canary_kernels():
         prev = [t for t in os.environ.get(
             "DISPRCNN_PALLAS_DISABLE", "").split(",") if t.strip()]
         os.environ["DISPRCNN_PALLAS_DISABLE"] = ",".join(prev + bad)
+    disabled = sorted({t.strip() for t in os.environ.get(
+        "DISPRCNN_PALLAS_DISABLE", "").split(",") if t.strip()})
+    if os.environ.get("DISPRCNN_TOPK_SELECT") == "0":
+        disabled.append("topk_select")
+    return disabled
 
 
-def main(pairs: int = 1):
-    _require_backend()
-    _canary_kernels()
+# 3D-stage eval budgets. "headline" is the fixed-shape operating point the
+# throughput number is quoted at (16 proposals/ROI). "reference" matches the
+# reference recipe's eval budget: 3D post-NMS 100 proposals per object
+# (configs/kitti/car/vob/rcnn.yaml TEST.RPN_POST_NMS_TOP_N: 100), all 768
+# anchors pre-NMS (the reference's 9000 cap is vacuous at 768 points/object),
+# and all 100 proposals through the RCNN at test (ROI_PER_IMAGE=16 is a
+# train-time subsample). max_det stays 16 in both: it is the padded INSTANCE
+# count — the reference processes its actual ~5-10 detections per KITTI image
+# with no padding, so 16 already over-charges us per image; its 2D cap of 100
+# (TEST.DETECTIONS_PER_IMG) is vacuous on KITTI scenes.
+_BUDGETS = {
+    "headline": dict(pre_nms=128, post_nms=16, rcnn_rois=16),
+    "reference": dict(pre_nms=768, post_nms=100, rcnn_rois=100),
+}
+
+
+def _time_pipeline(pairs: int, budget: str):
+    """Build + compile + steady-state-time the full 2D→3D eval pipeline at
+    the given 3D proposal budget. Returns (pairs_per_sec, flops_per_step)."""
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from disprcnn_tpu.models.detector.disprcnn import DispRCNN
@@ -262,6 +280,7 @@ def main(pairs: int = 1):
     p = pairs  # stereo pairs per step: eval is embarrassingly batchable
     # (fixed shapes); batching amortizes RPN/NMS and trunk fixed overheads
     rng = jax.random.PRNGKey(0)
+    b = _BUDGETS[budget]
 
     model2d = DispRCNN(
         body="R-101",
@@ -270,7 +289,9 @@ def main(pairs: int = 1):
     )
     model3d = DispRCNN3D(
         max_det=max_det, roi_size=224, maxdisp=48, mindisp=-48, npoints=768,
-        lift_grid=112, proposals_per_roi=16, rcnn_rois_per_instance=16,
+        lift_grid=112, proposals_per_roi=b["post_nms"],
+        rpn_pre_nms_per_roi=b["pre_nms"],
+        rcnn_rois_per_instance=b["rcnn_rois"],
         rcnn_enabled=True, dtype=jnp.bfloat16,
     )
 
@@ -350,28 +371,54 @@ def main(pairs: int = 1):
         s = pipeline_scalar(v2d, v3d, left, left, left_raw, left_raw)
     _ = float(s)  # forces completion of the whole in-order queue
     dt = time.perf_counter() - t0
-    pairs_per_sec = n_iter * p / dt
+    return n_iter * p / dt, flops_per_step
 
-    # MFU vs the chip's peak bf16 matmul throughput (dense-compute ceiling)
+
+def main(pairs: int = 1, budgets: str = "headline,reference"):
+    _require_backend()
+    disabled = _canary_kernels()
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "unknown")
     peak = _PEAK_BF16_FLOPS.get(kind.lower(), 0.0)
-    steps_per_sec = n_iter / dt
-    mfu = flops_per_step * steps_per_sec / peak if peak and flops_per_step else None
 
-    print(
-        json.dumps(
-            {
-                "metric": "stereo_pairs_per_sec_full_pipeline",
-                "value": round(pairs_per_sec, 3),
-                "unit": "pairs/s/chip",
-                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC_PER_GPU, 3),
-                "pairs_per_step": p,
-                "flops_per_pair": round(flops_per_step / max(p, 1)),
-                "mfu": round(mfu, 4) if mfu is not None else None,
-                "device": kind,
-            }
-        )
-    )
+    results = {}
+    for budget in [b for b in budgets.split(",") if b.strip()]:
+        pps, flops_per_step = _time_pipeline(pairs, budget)
+        # MFU vs the chip's peak bf16 matmul throughput (dense ceiling);
+        # numerator is XLA cost_analysis() HLO flops — the ONE utilization
+        # methodology used everywhere (PERF.md quotes these same numbers).
+        mfu = (flops_per_step * pps / pairs / peak
+               if peak and flops_per_step else None)
+        results[budget] = {
+            "pairs_per_sec": round(pps, 3),
+            "vs_baseline": round(pps / BASELINE_PAIRS_PER_SEC_PER_GPU, 3),
+            "flops_per_pair": round(flops_per_step / max(pairs, 1)),
+            "mfu": round(mfu, 4) if mfu is not None else None,
+        }
+
+    head = results.get("headline") or next(iter(results.values()))
+    out = {
+        "metric": "stereo_pairs_per_sec_full_pipeline",
+        "value": head["pairs_per_sec"],
+        "unit": "pairs/s/chip",
+        "vs_baseline": head["vs_baseline"],
+        "pairs_per_step": pairs,
+        "flops_per_pair": head["flops_per_pair"],
+        "mfu": head["mfu"],
+        "device": kind,
+        "pallas_disabled": disabled,  # kernel families NOT engaged
+        "budgets": results,  # headline=16 proposals/ROI; reference=100
+        # vs_baseline divides batched (pairs_per_step) per-chip throughput
+        # by the reference's single-pair-loop 3.93 pairs/s/GPU — a
+        # throughput-vs-throughput comparison, not latency-vs-latency.
+        "note": f"batched {pairs} pairs/step vs reference 1-pair eval loop",
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
@@ -381,4 +428,8 @@ if __name__ == "__main__":
                          "eval is embarrassingly batchable, and per-chip "
                          "throughput is the metric -- 4 amortizes the "
                          "fixed-shape overheads, +20%% over single-pair)")
-    main(pairs=ap.parse_args().pairs)
+    ap.add_argument("--budgets", default="headline,reference",
+                    help="comma list of 3D proposal budgets to time "
+                         "(headline=16 proposals/ROI, reference=100)")
+    a = ap.parse_args()
+    main(pairs=a.pairs, budgets=a.budgets)

@@ -66,7 +66,11 @@ def _kernel_cv(dg, g, c, mind4, relu, *refs):
             live = jnp.logical_and(d >= mind4, d < maxd4)
             m = jnp.logical_and(cols >= d, cols < w + d)
             m = jnp.logical_and(m, live).astype(v.dtype)
-            sl = v if half == 0 else pltpu.roll(vroll, d, axis=1).astype(v.dtype)
+            # pltpu.roll treats a dynamic shift as UNSIGNED on real Mosaic
+            # (2^32-|d| mod W — only accidentally right when W is a power of
+            # two, which is how the tiny canary passed); fold into [0, W)
+            dm = jax.lax.rem(jax.lax.rem(d, w) + w, w)
+            sl = v if half == 0 else pltpu.roll(vroll, dm, axis=1).astype(v.dtype)
             win3[1 : h + 1, :, c0 + s * c : c0 + (s + 1) * c] = sl * m
         zrow = jnp.zeros((1, w, winc), v.dtype)
         win3[0:1, :, c0 : 2 * winc] = zrow
@@ -527,9 +531,10 @@ def packed_conv_bn(
     residual: jnp.ndarray | None = None,  # (N, H, W, G*Co), added pre-ReLU
     rows: int = 1,  # N rows per grid step (must divide N): amortizes the
     # per-step overhead at small H*W (hourglass half/quarter res)
-    out_repack: bool = False,  # write (B, H, W, Dg, G*Co) (N = B*Dg split,
-    # Dg moved before channels) — the classif heads' depth-major repack for
-    # free, instead of a separate full-volume transpose (requires rows=1)
+    out_repack: bool = False,  # write flattened (B, H, W, Dg*G*Co) (N = B*Dg
+    # split, Dg moved before channels) — the classif heads' depth-major
+    # repack for free, instead of a separate full-volume transpose
+    # (requires rows=1 and G*Co % 128 == 0 for lane alignment)
     interpret: bool = False,
 ) -> jnp.ndarray:
     return _conv_call((x4,), (w2,), mul, add, dg, g, relu, residual, rows,
@@ -605,6 +610,12 @@ def _conv_call(xs, w2s, mul, add, dg, g, relu, residual, rows, out_repack,
         args.append(residual)
 
     if out_repack:
+        # channel offset (i%dg)*co is lane-aligned only when co % 128 == 0
+        # (the sole caller has co=128); fail loudly rather than hit a Mosaic
+        # tiling error or silent misalignment for a future caller. Interpret
+        # mode has no lane tiling — tests exercise small co there.
+        assert interpret or co % 128 == 0, \
+            f"out_repack needs G*Co % 128 == 0 on TPU, got {co}"
         # depth-major channels as a 4-D (B, H, W, Dg*Co) array: a 5-D
         # (…, Dg, Co) block of (…, 1, Co) violates Mosaic's (8,128) minor-dim
         # tiling rule (Dg=6 is neither 8-divisible nor full). Same memory

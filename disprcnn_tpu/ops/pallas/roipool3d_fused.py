@@ -53,7 +53,9 @@ def _kernel(s, max_dis, s_tile, rboxes, *refs):
 
         incl = jnp.dot(mask, tri, preferred_element_type=jnp.float32)
         rank = incl - mask
-        cnt = incl[0, n - 1]
+        # keep cnt as a (1, 1) array: Mosaic cannot store scalars to VMEM,
+        # and (st,1) slot math broadcasts against (1,1) on the VPU anyway
+        cnt = incl[:, n - 1 : n]
 
         # (slots are processed in s_tile chunks to bound the (st, N) one-hot)
         for t0 in range(0, s, s_tile):
@@ -67,7 +69,7 @@ def _kernel(s, max_dis, s_tile, rboxes, *refs):
             onehot = (rank == tgt) * mask  # (st, N), empty box -> all 0
             g = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
             out[r, t0 : t0 + st] = g.astype(out.dtype)
-        emptyref[r, 0] = (cnt == 0.0).astype(jnp.float32)
+        emptyref[r : r + 1, :] = (cnt == 0.0).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("sampled_pts_num", "max_dis", "interpret"))

@@ -51,7 +51,7 @@ def main():
     run("stage3", ps3.main)
     run("pipeline", lambda: pp.main([]))
     run("bench", lambda: bench.main(pairs=ap.parse_args().pairs))
-    run("bench8", lambda: bench.main(pairs=8))
+    run("bench8", lambda: bench.main(pairs=8, budgets="headline"))
 
 
 if __name__ == "__main__":
