@@ -8,12 +8,16 @@ deep-supervised masked smooth-L1 against ROI-warped GT disparity at
 DISP_RESOLUTIONS (112). Includes the ROILevelMapper multi-resolution variant's
 area-based routing (dispmodule.py:18-49) as `roi_resolution_keep`.
 
-NOTE: the reference constructs its inner PSMNet with positionally-scrambled
-arguments (dispmodule.py:73-75 passes is_module into input_size etc.), so this
-reimplementation follows the documented intent: features -> 32ch reduce ->
-shift-concat cost volume -> hourglass trio -> soft-argmin. The shipped
-3-stage configs keep DISPNET_ON=False; this module exists for the
-idispnet-in-framework path and registry parity.
+NOTE: the reference's exact graph is PROVABLY DEAD CODE — adjudicated by
+tests/test_dispmodule_dead.py against the vendored torch source: the inner
+PSMNet ctor (dispmodule.py:73-75) passes positionally-scrambled args that
+stackhourglass.py:55-104 then entirely ignores, so the built module is the
+stock 3-channel-image PSMNet; DispModule.forward then feeds it 1024-channel
+ROI-pooled FPN features (dispmodule.py:277), which the image tower rejects
+with a channel-mismatch RuntimeError on every invocation. No shipped config
+can run it (the 3-stage configs keep DISPNET_ON=False). This
+reimplementation therefore follows the documented intent: features -> 32ch
+reduce -> shift-concat cost volume -> hourglass trio -> soft-argmin.
 """
 from __future__ import annotations
 

@@ -1,32 +1,49 @@
-"""Training-step throughput of the 2D stereo detector on one TPU chip.
+"""Training-step throughput per stage on one TPU chip -> BENCH_TRAIN.json.
 
-The reference's headline numbers are stage TRAINING times (docs/TRAIN_VAL.md:
-~1.5 h for the 2D stage / 4140 iters @ global bs 4 on 4 GPUs = ~0.77 it/s =
-~3.1 imgs/s). This measures our jitted SPMD train step (fwd+bwd+SGD) at the
-same per-step shapes on a single chip.
+The reference's headline costs are stage TRAINING times
+(docs/TRAIN_VAL.md:55-94). Aggregate reference throughputs from its shipped
+recipes:
 
-Usage: python tools/bench_train.py [--bs 4]
+- 2D SMRCNN: 4140 iters x bs 4 in ~1.5 h on 4 GPUs  -> 3.07 imgs/s
+- 3D RPN:   27600 iters x bs 3 in ~5 h on 8 GPUs    -> 4.60 imgs/s
+- 3D RCNN:  62100 iters x bs 1 in ~13 h on 8 GPUs   -> 1.33 imgs/s
+- iDispNet: 100 epochs in ~8 h on 8 GPUs (ROI count is dataset-derived,
+  so no per-img baseline is computed; ms/step is still reported)
+
+This measures our jitted SPMD train step (fwd+bwd+optimizer) per stage on a
+single chip at the reference per-step shapes and writes one JSON with
+ms/step, imgs/s/chip, and vs the reference AGGREGATE (all its GPUs vs our
+one chip — the honest cross-hardware comparison for wall-clock training).
+
+Usage: python tools/bench_train.py [--stages 2d,psm,pc] [--bs 4]
 """
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 import numpy as np
 
 sys.path.insert(0, ".")
 
+REF_AGG_IMGS_PER_SEC = {"2d": 4140 * 4 / 5400.0, "pc": 62100 * 1 / 46800.0}
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--bs", type=int, default=4)
-    ap.add_argument("--hw", default="384,1248")
-    args = ap.parse_args()
+
+def _fill_variables(model_init_shapes, nprng):
+    def fill(path, s):
+        a = (0.05 * nprng.standard_normal(s.shape)).astype(s.dtype)
+        if any("var" in str(getattr(p, "key", "")) for p in path):
+            a = np.abs(a) + np.asarray(0.9, s.dtype)
+        return a
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax.tree_util.tree_map_with_path(fill, model_init_shapes)
+
+
+def bench_2d(bs: int, hw: str):
+    import jax
     import jax.numpy as jnp
     import optax
 
@@ -36,8 +53,8 @@ def main():
     from disprcnn_tpu.utils.benchmarking import device_timeit
 
     dev = jax.devices()[0]
-    h, w = (int(v) for v in args.hw.split(","))
-    b, m = args.bs, 8
+    h, w = (int(v) for v in hw.split(","))
+    b, m = bs, 8
     model = DispRCNN(
         body="R-101", max_det=16, max_gt=m, detections_per_img=16,
         dtype=jnp.bfloat16,
@@ -55,19 +72,12 @@ def main():
         gt_masks=jnp.full((b, m, h, w), 0.7, jnp.float32),
     )
 
-    print("init (eval_shape + numpy fill)...", flush=True)
+    print("2d: init (eval_shape + numpy fill)...", flush=True)
     shapes = jax.eval_shape(
         lambda k, bb: model.init({"params": k, "sampling": k}, train=True, **bb),
         rng, batch,
     )
-
-    def fill(path, s):
-        a = (0.05 * nprng.standard_normal(s.shape)).astype(s.dtype)
-        if any("var" in str(getattr(p, "key", "")) for p in path):
-            a = np.abs(a) + np.asarray(0.9, s.dtype)
-        return a
-
-    variables = jax.tree_util.tree_map_with_path(fill, shapes)
+    variables = _fill_variables(shapes, nprng)
     tx = optax.chain(optax.trace(decay=0.9),
                      optax.scale_by_learning_rate(one_cycle(0.01, 1000)))
     state = create_train_state(model, tx, variables)
@@ -76,19 +86,127 @@ def main():
     state = jax.device_put(state, dev)
     batch = jax.device_put(batch, dev)
     rng = jax.device_put(rng, dev)
-
-    print("compile + warm...", flush=True)
-
-    def one(state_and_key):
-        st, _ = step(state_and_key[0], batch, rng)
-        return st, st.step
-
+    print("2d: compile + warm...", flush=True)
     ms = device_timeit(lambda st: step(st, batch, rng)[1]["loss_total"], state, n=10)
-    imgs_s = args.bs / (ms / 1e3)
-    ref = 3.1  # imgs/s on the reference's 4-GPU recipe
-    print(f"train step (bs={args.bs}, {h}x{w}): {ms:.1f} ms "
-          f"-> {imgs_s:.2f} imgs/s/chip ({imgs_s / ref:.2f}x the reference's "
-          f"4-GPU aggregate)")
+    return {"ms_per_step": round(ms, 2), "imgs_per_step": b,
+            "imgs_per_sec_chip": round(b / (ms / 1e3), 2)}
+
+
+def bench_3d(bs: int, train_psm: bool, train_pc: bool, max_det: int = 16):
+    """One DispRCNN3D train step at the production geometry: `train_psm`
+    measures the iDispNet stage (PSMNet fwd+bwd on bs*max_det 224^2 crops),
+    `train_pc` the PointRCNN stage (RPN3D + RCNN losses; TRAIN budgets from
+    configs/kitti/car/vob/rcnn.yaml)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from disprcnn_tpu.engine.trainer import create_train_state, make_train_step
+    from disprcnn_tpu.models.detector.disprcnn3d import DispRCNN3D
+    from disprcnn_tpu.solver.schedules import one_cycle
+    from disprcnn_tpu.structures.stereo import StereoBoxes
+    from disprcnn_tpu.utils.benchmarking import device_timeit
+
+    dev = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+    b, d, h, w = bs, max_det, 384, 1248
+    model = DispRCNN3D(
+        max_det=d, roi_size=224, maxdisp=48, mindisp=-48, npoints=768,
+        lift_grid=112, proposals_per_roi=100, rpn_pre_nms_per_roi=768,
+        proposals_per_roi_train=512, rpn_pre_nms_per_roi_train=768,
+        rcnn_rois_per_instance=16, det3d_on=train_pc,
+        dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    nprng = np.random.default_rng(0)
+
+    with jax.default_device(cpu):
+        lbox = jnp.tile(jnp.asarray([[[100.0, 150, 400, 350]]]), (b, d, 1))
+        dets = StereoBoxes(
+            left=lbox, right=lbox - jnp.asarray([20.0, 0, 20, 0]),
+            score=jnp.ones((b, d)), valid=jnp.ones((b, d), bool),
+            fields={"mask": jnp.full((b, d, 28, 28), 0.9)},
+        )
+        calib = {
+            "fu": jnp.full((b,), 721.5), "fv": jnp.full((b,), 721.5),
+            "cu": jnp.full((b,), w / 2.0), "cv": jnp.full((b,), h / 2.0),
+            "tx": jnp.zeros((b,)), "ty": jnp.zeros((b,)),
+            "fuxb": jnp.full((b,), 389.6),
+        }
+        img = jnp.asarray(nprng.uniform(0, 1, (b, h, w, 3)), jnp.float32)
+        batch = dict(
+            left_img=img, right_img=img, dets=dets, calib=calib,
+            gt_disp=jnp.full((b, h, w), 20.0, jnp.float32),
+            gt_left=lbox[:, :2],
+            gt_boxes3d=jnp.tile(
+                jnp.asarray([[[0.0, 1.7, 19.0, 1.6, 1.7, 4.0, 0.2],
+                              [2.0, 1.7, 20.0, 1.6, 1.7, 4.0, -0.2]]]), (b, 1, 1)),
+            gt_valid=jnp.ones((b, 2), bool),
+        )
+        print("3d: init (eval_shape + numpy fill)...", flush=True)
+        shapes = jax.eval_shape(
+            lambda k: model.init(
+                {"params": k, "sampling": k},
+                img[:1], img[:1], jax.tree.map(lambda x: x[:1], dets),
+                {k2: v[:1] for k2, v in calib.items()}, train=False),
+            rng,
+        )
+    variables = _fill_variables(shapes, nprng)
+    tx = optax.chain(optax.trace(decay=0.9),
+                     optax.scale_by_learning_rate(one_cycle(0.01, 1000)))
+    state = create_train_state(model, tx, variables)
+    step = jax.jit(make_train_step(
+        model, tx, do_grad_clip=True, grad_clip=10.0,
+        apply_kwargs=dict(train_psm=train_psm, train_pc=train_pc)))
+
+    state = jax.device_put(state, dev)
+    batch = jax.device_put(batch, dev)
+    rng = jax.device_put(rng, dev)
+    print("3d: compile + warm...", flush=True)
+    ms = device_timeit(lambda st: step(st, batch, rng)[1]["loss_total"], state, n=10)
+    return {"ms_per_step": round(ms, 2), "imgs_per_step": b,
+            "rois_per_step": b * d,
+            "imgs_per_sec_chip": round(b / (ms / 1e3), 2),
+            "rois_per_sec_chip": round(b * d / (ms / 1e3), 2)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, default=4)
+    ap.add_argument("--hw", default="384,1248")
+    ap.add_argument("--stages", default="2d,psm,pc",
+                    help="comma list: 2d (SMRCNN), psm (iDispNet), pc (PointRCNN)")
+    ap.add_argument("--out", default="BENCH_TRAIN.json")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    out = {"device": getattr(jax.devices()[0], "device_kind", "unknown"),
+           "stages": {}}
+    for stage in args.stages.split(","):
+        print(f"===== train stage {stage} =====", flush=True)
+        if stage == "2d":
+            r = bench_2d(args.bs, args.hw)
+        elif stage == "psm":
+            # iDispNet stage trains on ROI crops; bs=1 image x 16 ROIs ~ the
+            # reference's bs-12-crops fast.ai recipe per GPU
+            r = bench_3d(1, train_psm=True, train_pc=False)
+        elif stage == "pc":
+            r = bench_3d(1, train_psm=False, train_pc=True)  # rcnn.yaml bs 1
+        else:
+            raise SystemExit(f"unknown stage {stage}")
+        ref = REF_AGG_IMGS_PER_SEC.get(stage)
+        if ref:
+            r["vs_reference_aggregate"] = round(r["imgs_per_sec_chip"] / ref, 2)
+        out["stages"][stage] = r
+        print(stage, json.dumps(r), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -253,6 +253,29 @@ def main(argv=None):
 
         run("roipool3d fused (16x16x768, S=512)", frp)
 
+    if "softargmin" not in skip:
+        from disprcnn_tpu.ops.pallas import softargmin as _sam
+        fused_softargmin = _maybe_interpret(_sam.fused_softargmin)
+
+        def fsam():
+            # production PSMNet head geometry: (R, 56, 56, 24) -> 224^2
+            c = put(r.normal(size=(16, 56, 56, 24)), jnp.float32)
+            got = fused_softargmin(c, (224, 224), -48, 48)
+            from disprcnn_tpu.ops.pallas.softargmin import interp_matrix
+
+            md = interp_matrix(24, 96)
+            mh = interp_matrix(56, 224)
+            mw = interp_matrix(56, 224)
+            y = jnp.einsum("bhwd,ed->bhwe", c, md)
+            y = jnp.einsum("bhwd,eh->bewd", y, mh)
+            y = jnp.einsum("bhwd,ew->bhed", y, mw)
+            p_ = jax.nn.softmax(y, axis=-1)
+            disp = jnp.arange(-48, 48, dtype=p_.dtype)
+            want = jnp.einsum("bhwd,d->bhw", p_, disp)
+            check("softargmin", got, want)
+
+        run("softargmin 16x224^2 D96", fsam)
+
     if "topk" not in skip:
         from disprcnn_tpu.ops.topk_select import topk_threshold
 
