@@ -22,7 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(s, max_dis, s_tile, rboxes, *refs):
-    pts, feats, box, out, emptyref = refs
+    pts, feats, box, out = refs
     n = pts.shape[1]
 
     p = pts[0].astype(jnp.float32)  # (N, 3)
@@ -53,9 +53,7 @@ def _kernel(s, max_dis, s_tile, rboxes, *refs):
 
         incl = jnp.dot(mask, tri, preferred_element_type=jnp.float32)
         rank = incl - mask
-        # keep cnt as a (1, 1) array: Mosaic cannot store scalars to VMEM,
-        # and (st,1) slot math broadcasts against (1,1) on the VPU anyway
-        cnt = incl[:, n - 1 : n]
+        cnt = incl[:, n - 1 : n]  # (1, 1); broadcasts against (st, 1) slots
 
         # (slots are processed in s_tile chunks to bound the (st, N) one-hot)
         for t0 in range(0, s, s_tile):
@@ -63,13 +61,19 @@ def _kernel(s, max_dis, s_tile, rboxes, *refs):
             # Mosaic's tpu.iota only produces integers — iota int32, then cast
             slots = t0 + jax.lax.broadcasted_iota(
                 jnp.int32, (st, 1), 0).astype(jnp.float32)
-            # reference tail cycling: slot % cnt once past the found count
+            # reference tail cycling: slot % cnt once past the found count.
+            # The TPU VPU divide is NOT correctly rounded (reciprocal-based,
+            # ~2 ULP): at exact multiples floor(slot/cnt) can come up one
+            # short (e.g. 33/33 -> 0.99999994 -> 0), leaving cyc == cnt which
+            # matches no rank and silently zeroes the slot. Correct the
+            # remainder into [0, cnt) — the quotient error is at most 1.
             cyc = slots - cnt * jnp.floor(slots / jnp.maximum(cnt, 1.0))
+            cyc = jnp.where(cyc >= cnt, cyc - cnt, cyc)
+            cyc = jnp.where(cyc < 0.0, cyc + cnt, cyc)
             tgt = jnp.where(slots < cnt, slots, cyc)
             onehot = (rank == tgt) * mask  # (st, N), empty box -> all 0
             g = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
             out[r, t0 : t0 + st] = g.astype(out.dtype)
-        emptyref[r : r + 1, :] = (cnt == 0.0).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("sampled_pts_num", "max_dis", "interpret"))
@@ -95,7 +99,7 @@ def roipool3d_fused(
     gsteps = m // rboxes
 
     grid = (bsz * gsteps,)
-    pooled, empty = pl.pallas_call(
+    pooled = pl.pallas_call(
         partial(_kernel, s, float(max_dis), s_tile, rboxes),
         grid=grid,
         in_specs=[
@@ -107,22 +111,20 @@ def roipool3d_fused(
                          lambda i: (i // gsteps, i % gsteps, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((rboxes, s, 3 + cf), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rboxes, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bsz * m, s, 3 + cf), jnp.float32),
-            jax.ShapeDtypeStruct((bsz * m, 1), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((rboxes, s, 3 + cf), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz * m, s, 3 + cf), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024
         ),
         interpret=interpret,
     )(pts, feats, boxes3d.reshape(bsz, m, 7))
-    return (
-        pooled.reshape(bsz, m, s, 3 + cf),
-        empty.reshape(bsz, m) > 0.5,
-    )
+    # empty flags via the cheap XLA mask-count (B*M*N compares): an
+    # (rboxes, 1) kernel output block violates Mosaic's sublane tiling rule
+    # whenever rboxes < 8 (small-M callers / the bench canary)
+    from ..roipool3d import pts_in_boxes3d
+
+    mask = jax.vmap(lambda p, b: pts_in_boxes3d(p, b, max_dis))(
+        pts, boxes3d.reshape(bsz, m, 7))  # (B, M, N)
+    empty = ~jnp.any(mask, axis=-1)
+    return pooled.reshape(bsz, m, s, 3 + cf), empty
