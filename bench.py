@@ -388,7 +388,19 @@ def main(pairs: int = 1, budgets: str = "headline,reference"):
 
     results = {}
     for budget in [b for b in budgets.split(",") if b.strip()]:
-        pps, flops_per_step = _time_pipeline(pairs, budget)
+        try:
+            pps, flops_per_step = _time_pipeline(pairs, budget)
+        except Exception as e:  # noqa: BLE001 — one budget failing must not
+            # kill the whole driver artifact (the other budget's number and
+            # the pallas_disabled ledger still matter)
+            import sys
+            import traceback
+
+            traceback.print_exc()
+            print(f"bench: budget '{budget}' failed: {e!r:.200s}",
+                  file=sys.stderr, flush=True)
+            results[budget] = {"error": f"{type(e).__name__}"}
+            continue
         # MFU vs the chip's peak bf16 matmul throughput (dense ceiling);
         # numerator is XLA cost_analysis() HLO flops — the ONE utilization
         # methodology used everywhere (PERF.md quotes these same numbers).
@@ -401,7 +413,8 @@ def main(pairs: int = 1, budgets: str = "headline,reference"):
             "mfu": round(mfu, 4) if mfu is not None else None,
         }
 
-    head = results.get("headline") or next(iter(results.values()))
+    ok = {k: v for k, v in results.items() if "error" not in v}
+    head = ok.get("headline") or next(iter(ok.values()))
     out = {
         "metric": "stereo_pairs_per_sec_full_pipeline",
         "value": head["pairs_per_sec"],

@@ -13,12 +13,32 @@ kernel that only ever ran in interpret mode meets real Mosaic. Tags:
   pool     grouped-MLP+max (SharedMLP._fused_pool)
   softargmin  fused upsample+softmax+soft-argmin
   fp       fused 3-NN interpolate + MLP (FPModule)
+
+Families measured as net LOSSES on-chip default to OFF and can be forced
+back on with DISPRCNN_PALLAS_ENABLE (same comma-list syntax) for re-runs of
+the A/B ledger (tools/ab_psmnet.py).
 """
 from __future__ import annotations
 
 import os
 
+# Measured on TPU v5e, 2026-08-18 (tools/ab_psmnet.py, full PSMNet fwd,
+# 16x224^2 ROIs, per-family deltas vs all-on):
+#   conv3d  +8.15 ms when disabled  -> keep ON
+#   cv      +1.37 ms when disabled  -> keep ON
+#   deconv  +0.09 ms when disabled  -> keep ON (neutral)
+#   s2      -6.16 ms when disabled  -> OFF (XLA's strided conv is faster)
+#   wconv   -3.54 ms when disabled  -> OFF (XLA's 2D tower conv is faster)
+#   softargmin -0.66 ms when disabled -> OFF
+_DEFAULT_OFF = {"s2", "wconv", "softargmin"}
+
+
+def _env_set(name: str) -> set[str]:
+    raw = os.environ.get(name, "")
+    return {t.strip() for t in raw.split(",") if t.strip()}
+
 
 def kernel_disabled(tag: str) -> bool:
-    raw = os.environ.get("DISPRCNN_PALLAS_DISABLE", "")
-    return tag in {t.strip() for t in raw.split(",") if t.strip()}
+    if tag in _env_set("DISPRCNN_PALLAS_DISABLE"):
+        return True
+    return tag in _DEFAULT_OFF and tag not in _env_set("DISPRCNN_PALLAS_ENABLE")

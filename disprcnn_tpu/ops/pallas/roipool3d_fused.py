@@ -93,10 +93,15 @@ def roipool3d_fused(
     s = sampled_pts_num
     cf = feats.shape[-1]
     s_tile = min(s, 256)
-    rboxes = 1
-    while rboxes < m and m % (rboxes * 2) == 0 and rboxes < 8:
-        rboxes *= 2
-    gsteps = m // rboxes
+    # Mosaic legality for the (1, rboxes, 7) box block: the second-to-last
+    # dim must be 8-divisible or equal the overall M. Padding M up to a
+    # multiple of 8 makes rboxes=8 legal for ANY M (pad boxes are all-zero
+    # -> empty -> zero rows, sliced away below).
+    rboxes = 8
+    mp = -(-m // rboxes) * rboxes
+    boxes_p = (boxes3d if mp == m else jnp.concatenate(
+        [boxes3d, jnp.zeros((bsz, mp - m, 7), boxes3d.dtype)], axis=1))
+    gsteps = mp // rboxes
 
     grid = (bsz * gsteps,)
     pooled = pl.pallas_call(
@@ -113,12 +118,12 @@ def roipool3d_fused(
         ],
         out_specs=pl.BlockSpec((rboxes, s, 3 + cf), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz * m, s, 3 + cf), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz * mp, s, 3 + cf), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024
         ),
         interpret=interpret,
-    )(pts, feats, boxes3d.reshape(bsz, m, 7))
+    )(pts, feats, boxes_p)
     # empty flags via the cheap XLA mask-count (B*M*N compares): an
     # (rboxes, 1) kernel output block violates Mosaic's sublane tiling rule
     # whenever rboxes < 8 (small-M callers / the bench canary)
@@ -127,4 +132,4 @@ def roipool3d_fused(
     mask = jax.vmap(lambda p, b: pts_in_boxes3d(p, b, max_dis))(
         pts, boxes3d.reshape(bsz, m, 7))  # (B, M, N)
     empty = ~jnp.any(mask, axis=-1)
-    return pooled.reshape(bsz, m, s, 3 + cf), empty
+    return pooled.reshape(bsz, mp, s, 3 + cf)[:, :m], empty

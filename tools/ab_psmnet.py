@@ -1,0 +1,108 @@
+"""Per-family A/B of the fused PSMNet kernels, one tunnel attach.
+
+The round-3 pipeline profile showed full PSMNet at 59 ms/16 ROIs with all
+fused families on, vs ~34 ms measured unfused in round 2 — some family is a
+large net LOSS at the production geometry. This times the full PSMNet
+forward under each DISPRCNN_PALLAS_DISABLE config (env is read at trace
+time; a fresh jit per config forces retrace) and prints a ledger.
+
+Usage: python tools/ab_psmnet.py [--rois 16] [--configs name1,name2]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+CONFIGS = {
+    "all_on": "",
+    "no_conv3d": "conv3d",
+    "no_s2": "s2",
+    "no_deconv": "deconv",
+    "no_cv": "cv",
+    "no_wconv": "wconv",
+    "no_softargmin": "softargmin",
+    "trunk_off": "conv3d,s2,deconv,cv",
+    "all_off": "conv3d,s2,deconv,cv,wconv,softargmin",
+    "best": "s2,wconv,softargmin",
+    "best_plus_deconv_off": "s2,wconv,softargmin,deconv",
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rois", type=int, default=16)
+    ap.add_argument("--configs", default=",".join(CONFIGS))
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from disprcnn_tpu.models.psmnet.psmnet import PSMNet
+    from disprcnn_tpu.utils.benchmarking import device_timeit
+
+    dev = jax.devices()[0]
+    rng = jax.random.PRNGKey(0)
+    psm = PSMNet(maxdisp=48, mindisp=-48, dtype=jnp.bfloat16)
+    d = args.rois
+
+    cache = "/root/repo/.cache/profile_vpsm.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            vpsm = pickle.load(f)
+    else:
+        crops0 = jnp.zeros((d, 224, 224, 3), jnp.float32)
+        shapes = jax.eval_shape(
+            lambda k, a: psm.init({"params": k}, a, a, train=False), rng, crops0
+        )
+        nprng = np.random.default_rng(0)
+
+        def fill(path, s):
+            a = (0.05 * nprng.standard_normal(s.shape)).astype(s.dtype)
+            if any("var" in str(getattr(p, "key", "")) for p in path):
+                a = np.abs(a) + np.asarray(0.9, s.dtype)
+            return a
+
+        vpsm = jax.tree_util.tree_map_with_path(fill, shapes)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        with open(cache, "wb") as f:
+            pickle.dump(vpsm, f)
+    vpsm = jax.device_put(jax.tree.map(jnp.asarray, vpsm), dev)
+    crops = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (d, 224, 224, 3)),
+                    jnp.float32), dev)
+
+    base = None
+    # force-enable the measured default-off families so the disable list is
+    # the ONLY engagement variable (pure A/B; see ops/pallas/_DEFAULT_OFF)
+    os.environ["DISPRCNN_PALLAS_ENABLE"] = "s2,wconv,softargmin"
+    for name in args.configs.split(","):
+        disable = CONFIGS[name]
+        os.environ["DISPRCNN_PALLAS_DISABLE"] = disable
+        fpsm = jax.jit(lambda v, a, b: psm.apply(v, a, b, train=False))
+        print(f"--- {name:14s} (disable='{disable}') compiling...", flush=True)
+        try:
+            ms = device_timeit(fpsm, vpsm, crops, crops)
+        except Exception as e:  # noqa: BLE001
+            print(f"    FAILED: {e!r:.200}", flush=True)
+            continue
+        if base is None:
+            base = ms
+        print(f"    {ms:8.2f} ms  ({ms - base:+6.2f} vs all_on)", flush=True)
+    os.environ["DISPRCNN_PALLAS_DISABLE"] = ""
+
+    import os as _os
+
+    _os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
