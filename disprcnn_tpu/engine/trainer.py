@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..solver.build import _path_str
+
 
 @flax.struct.dataclass
 class TrainState:
@@ -38,6 +40,25 @@ def total_loss(losses: Dict[str, jnp.ndarray], uncert: Optional[jnp.ndarray]):
     return jnp.sum(uncert) + jnp.sum(stacked * jnp.exp(-uncert[: len(vals)]))
 
 
+def stop_grad_by_prefix(params, prefixes: tuple):
+    """stop_gradient every param whose dotted path starts with a frozen
+    prefix (SOLVER.FIX_*). optax.masked already zeroes their *updates*; this
+    additionally keeps their *tangents* symbolically zero so autodiff never
+    traces a backward pass through the frozen branch — the reference gets
+    this for free from requires_grad_(False) (utils/fix_model.py:6-40), and
+    without it jax.grad would (a) waste FLOPs and (b) hit Pallas primitives
+    that have no JVP rule (e.g. the fused cost-volume conv under TRAIN_PC)."""
+    if not prefixes:
+        return params
+
+    def f(path, leaf):
+        p = _path_str(path)
+        frozen = any(p == pre or p.startswith(pre + ".") for pre in prefixes)
+        return jax.lax.stop_gradient(leaf) if frozen else leaf
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -45,6 +66,7 @@ def make_train_step(
     grad_clip: float = 1.0,
     apply_kwargs: Optional[dict] = None,
     uncert_tx: Optional[optax.GradientTransformation] = None,
+    stop_grad_prefixes: tuple = (),
 ) -> Callable:
     """Returns step(state, batch, rng) -> (state, metrics).
 
@@ -57,6 +79,7 @@ def make_train_step(
         r1, r2 = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params, uncert):
+            params = stop_grad_by_prefix(params, stop_grad_prefixes)
             variables = {"params": params, "frozen": state.frozen}
             has_bn = bool(state.batch_stats)
             if has_bn:

@@ -780,12 +780,18 @@ class PSMNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, left, right, train: bool = False):
+    def __call__(self, left, right, train: bool = False,
+                 profile_stage: Optional[str] = None):
+        """profile_stage (static, eval-profiling only): return early after
+        'tower' | 'dres' | 'hg' | 'classif' — lets tools/profile_psmnet.py
+        attribute latency per segment by differencing jitted prefixes."""
         b, h, w, _ = left.shape
         feat = FeatureExtraction(dtype=self.dtype, name="feature_extraction")
         # siamese: one tower, batched over both views (TPU-friendly single pass)
         both = feat(jnp.concatenate([left, right], axis=0), train)
         lf, rf = both[:b], both[b:]
+        if profile_stage == "tower":
+            return lf, rf
 
         d4 = (self.maxdisp - self.mindisp) // 4
 
@@ -813,6 +819,8 @@ class PSMNet(nn.Module):
         x = pc(32, name="dres0_1")(x, train, relu=True)
         y = pc(32, name="dres1_0")(x, train, relu=True)
         cost0p = pc(32, name="dres1_1")(y, train, residual=x)
+        if profile_stage == "dres":
+            return cost0p
 
         hg = partial(Hourglass, 32, dtype=self.dtype, packed_group=G, packed_dg=dg)
         # the `+ cost0p` trunk skips ride the up2 deconv kernels as fused
@@ -823,6 +831,8 @@ class PSMNet(nn.Module):
             out1, pre1, post1, train, final_residual=cost0p)
         out3, pre3, post3 = hg(name="dres4")(
             out2, pre1, post2, train, final_residual=cost0p)
+        if profile_stage == "hg":
+            return out1, out2, out3
 
         h4, w4 = lf.shape[1], lf.shape[2]
 
@@ -841,6 +851,8 @@ class PSMNet(nn.Module):
         cost1 = classif(out1, "classif1")
         cost2 = classif(out2, "classif2") + cost1
         cost3 = classif(out3, "classif3") + cost2
+        if profile_stage == "classif":
+            return cost3
 
         d_full = self.maxdisp - self.mindisp
 

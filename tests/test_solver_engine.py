@@ -100,6 +100,58 @@ def test_train_step_descends_on_toy_model():
     assert int(state.step) == 50
 
 
+def test_train_step_stop_grad_prefixes_freeze_tangents():
+    """stop_grad_prefixes must (a) keep frozen subtrees bit-identical and
+    (b) keep their tangents symbolically zero — i.e. autodiff never builds a
+    backward pass through the frozen branch. (b) is what lets TRAIN_PC run
+    with the Pallas cost-volume conv in the frozen iDispNet (no JVP rule).
+    Mirrors reference utils/fix_model.py requires_grad_(False)."""
+    import flax.linen as nn
+
+    bwd_hits = []
+
+    @jax.custom_vjp
+    def trip(x):
+        return x
+
+    def trip_fwd(x):
+        return x, None
+
+    def trip_bwd(_, g):
+        bwd_hits.append(1)
+        return (g,)
+
+    trip.defvjp(trip_fwd, trip_bwd)
+
+    class Frozen(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            w = self.param("w", nn.initializers.ones, (4,))
+            return trip(w) * x
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, y=None, train=False):
+            a = Frozen(name="idispnet")(y)
+            w = self.param("w", nn.initializers.zeros, (4,))
+            return {"loss_fit": jnp.sum((w + a - 2.0 * y) ** 2)}
+
+    model = Toy()
+    y = jnp.asarray([1.0, -2.0, 3.0, 0.5])
+    variables = model.init(jax.random.PRNGKey(0), y=y)
+    tx = optax.sgd(0.1)
+    state = create_train_state(model, tx, variables)
+    step = make_train_step(model, tx, stop_grad_prefixes=("idispnet",))
+    w0 = np.asarray(state.params["idispnet"]["w"])
+    for _ in range(5):
+        state, metrics = step(state, {"y": y}, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(state.params["idispnet"]["w"]), w0)
+    assert not bwd_hits, "backward pass was traced through the frozen branch"
+    # the trainable head still learns
+    assert float(metrics["loss_total"]) < 10.0
+    assert not np.allclose(np.asarray(state.params["w"]), 0.0)
+
+
 def test_merge_predictions_across_hosts_rekey(monkeypatch):
     """merge_predictions_across_hosts stacks per-image dicts, gathers, and
     re-keys by the gathered byte-coded ids (engine/inference.py; reference

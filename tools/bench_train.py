@@ -155,9 +155,14 @@ def bench_3d(bs: int, train_psm: bool, train_pc: bool, max_det: int = 16):
     tx = optax.chain(optax.trace(decay=0.9),
                      optax.scale_by_learning_rate(one_cycle(0.01, 1000)))
     state = create_train_state(model, tx, variables)
+    # mirror the stage configs' freeze flags (rcnn.yaml: FIX_DISPARITY +
+    # FIX_POINTRCNN_RPN; rpn.yaml: FIX_DISPARITY) so frozen branches carry
+    # zero tangents — required for the Pallas cost-volume path under grad
+    frozen = () if train_psm else ("idispnet", "pointrcnn.rpn")
     step = jax.jit(make_train_step(
         model, tx, do_grad_clip=True, grad_clip=10.0,
-        apply_kwargs=dict(train_psm=train_psm, train_pc=train_pc)))
+        apply_kwargs=dict(train_psm=train_psm, train_pc=train_pc),
+        stop_grad_prefixes=frozen))
 
     state = jax.device_put(state, dev)
     batch = jax.device_put(batch, dev)

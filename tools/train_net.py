@@ -126,6 +126,7 @@ def main():
     step_fn = make_train_step(
         model, tx, cfg.SOLVER.DO_GRAD_CLIP, cfg.SOLVER.GRAD_CLIP,
         apply_kwargs=static_kwargs, uncert_tx=uncert_tx,
+        stop_grad_prefixes=frozen_path_prefixes(cfg),
     )
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data"))
