@@ -76,6 +76,23 @@ def main():
     log("timing full psmnet...")
     t_full = device_timeit(fpsm, vpsm, crops, crops)
 
+    if "--segments" in sys.argv:
+        # jitted-prefix differencing over PSMNet.profile_stage early exits:
+        # each prefix recompiles the graph cut after that segment, so
+        # t[k] - t[k-1] attributes the segment's cost (incl. fusion effects
+        # at the cut boundary — treat small negatives as noise).
+        stages = ["tower", "dres", "hg", "classif", None]
+        prev_t = 0.0
+        log("timing jitted prefixes (tower/dres/hg/classif/full)...")
+        for st in stages:
+            f = jax.jit(lambda v, a, b, _st=st: psm.apply(
+                v, a, b, train=False, profile_stage=_st))
+            t = device_timeit(f, vpsm, crops, crops)
+            name = st or "regress(full)"
+            print(f"prefix {name:14s}: {t:8.2f} ms  (+{t - prev_t:7.2f} ms segment)")
+            prev_t = t
+        return
+
     from disprcnn_tpu.utils.benchmarking import compiled_flops, peak_flops
 
     g_fe = compiled_flops(
