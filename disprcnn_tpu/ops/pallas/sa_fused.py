@@ -23,12 +23,17 @@ count in f32 on the MXU (bf16 is exact only to 256; N can be 512+).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_transposed() -> bool:
+    return os.environ.get("DISPRCNN_SA_T", "1") != "0"
 
 
 def _kernel(s, r2, mt, nlayers, *refs):
@@ -103,6 +108,168 @@ def _kernel(s, r2, mt, nlayers, *refs):
     out[...] = jnp.concatenate(pooled, axis=0)[None].astype(out.dtype)
 
 
+def _kernel_t(s, r2, mt, nlayers, *refs):
+    """Transposed reformulation of _kernel — bit-identical outputs, ~3x less
+    MXU-equivalent work at the RCNN SA0 geometry (B256 N512 M128 S64 C128):
+
+    - ranks via a bf16 0/1 tri-matmul with f32 MXU accumulation (exact
+      integer counts; the f32 dot's 4x throughput penalty was never needed
+      for 0/1 INPUTS — only count OUTPUTS exceed bf16's 256 integer range,
+      and those live in the f32 accumulator);
+    - the xyz gather as a bf16 one-hot dot against an exact hi/mid/lo
+      3-split of f32 coordinates (each 8-mantissa-bit slice is exactly
+      representable; one-hot selection sums exactly one term, so
+      (hi+mid)+lo reconstructs the f32 value bit-exactly) — the old form
+      was an f32 dot whose 3 output lanes padded to 128;
+    - everything (C, lanes)-transposed with slot-major merged lanes
+      (col = slot*mt + i), so the one-hot is ONE bf16 compare (ranks
+      clamped to s<=256 are bf16-exact) and the max-over-S is a log tree
+      of lane-aligned slices. Inputs arrive pre-transposed from XLA.
+    """
+    xyz, ctrT, vT, xyz3T, w0xT, mul0, add0 = refs[:7]
+    wb = refs[7 : 7 + 2 * nlayers]
+    out = refs[7 + 2 * nlayers]
+    n = xyz.shape[1]
+    m = ctrT.shape[2]
+    c0 = vT.shape[1]
+    sf = float(s)
+
+    xyzc = xyz[0].astype(jnp.float32)  # (N, 3) f32 column access
+    vv = vT[0]  # (C0, N) bf16
+    x3 = xyz3T[0]  # (9, N) bf16 hi/mid/lo rows
+    # inclusive lower-tri, bf16 0/1: triT[k, j] = (j <= k)
+    triT = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    ).astype(jnp.bfloat16)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    # slot id per merged lane (slot-major): col j -> j // mt
+    # (f32: Mosaic lacks bf16 ordered-< under packed layouts)
+    slots = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, s * mt), 1) // mt
+    ).astype(jnp.float32)  # values < s <= 256
+
+    for t0 in range(0, m, mt):
+        cT = ctrT[0][:, t0 : t0 + mt].astype(jnp.float32)  # (3, mt)
+        d2 = jnp.zeros((n, mt), jnp.float32)
+        for k in range(3):
+            diff = xyzc[:, k : k + 1] - cT[k : k + 1, :]
+            d2 = d2 + diff * diff
+        mask = d2 < r2  # strict, as the CUDA kernel (f32 compare -> i1:
+        # Mosaic's bf16 cmpf support is layout-dependent, keep compares f32)
+        maskf = mask.astype(jnp.float32)
+        maskb = maskf.astype(jnp.bfloat16)
+        incl = jnp.dot(triT, maskb, preferred_element_type=jnp.float32)
+        cnt = incl[n - 1 : n, :]  # (1, mt) f32 exact counts
+        rank = incl - maskf  # exclusive prefix count
+        # -1 outside the ball (never matches a target slot >= 0); empty
+        # ball -> point 0 gets rank 0 so every slot selects it
+        rank = jnp.where(mask, rank, -1.0)
+        rank = jnp.where((iota_n == 0) & (cnt == 0.0), 0.0, rank)
+        # clamp to s: ranks >= s never match (targets < s), and <= s is
+        # bf16-exact for s <= 256
+        rankc = jnp.minimum(rank, sf).astype(jnp.bfloat16)  # (n, mt)
+        cntc = jnp.minimum(cnt, sf)  # (1, mt) f32
+
+        rank_rep = jnp.concatenate([rankc] * s, axis=1)  # (n, s*mt)
+        cnt_rep = jnp.concatenate([cntc] * s, axis=1)  # (1, s*mt)
+        tgt = jnp.where(slots < cnt_rep, slots, 0.0).astype(jnp.bfloat16)
+        # one-hot WITHOUT a bf16 compare: ranks/targets are integer-valued,
+        # so 1 - |rank - tgt| is exactly 1 at equality and <= 0 otherwise
+        oh = jnp.maximum(
+            jnp.bfloat16(1.0) - jnp.abs(rank_rep - tgt), jnp.bfloat16(0.0)
+        )  # (n, s*mt) 0/1 bf16
+
+        # gathers as bf16 MXU dots with f32 accumulation: one-hot rows sum
+        # exactly one term -> exact selection, any contraction order
+        gf = jnp.dot(vv, oh, preferred_element_type=jnp.float32)  # (C0, L)
+        g3 = jnp.dot(x3, oh, preferred_element_type=jnp.float32)  # (9, L)
+        gx = (g3[0:3] + g3[3:6]) + g3[6:9]  # exact f32 xyz (3-split)
+        cx = jnp.concatenate([cT] * s, axis=1)  # (3, s*mt)
+        ctd = (gx - cx).astype(jnp.bfloat16)  # f32 centering, then bf16
+        # mlp0's xyz columns unrolled on the VPU in bf16; sum the 3 terms
+        # FIRST ((t0+t1)+t2), then add to the gather — matches _SlicedDense
+        pos = None
+        for k in range(3):
+            t = w0xT[:, k : k + 1].astype(jnp.bfloat16) * ctd[k : k + 1, :]
+            pos = t if pos is None else pos + t
+        x = gf.astype(jnp.bfloat16) + pos
+        x = jnp.maximum(
+            x.astype(jnp.float32) * mul0[...] + add0[...], 0.0
+        ).astype(jnp.bfloat16)
+        for i in range(nlayers):
+            wgt, b = wb[2 * i], wb[2 * i + 1]
+            y = jnp.dot(wgt[...], x, preferred_element_type=jnp.float32)
+            x = jnp.maximum(y + b[...], 0.0).astype(jnp.bfloat16)
+        # max over slots: log tree of lane-aligned halves (slot-major)
+        width = s
+        while width > 1:
+            half = width // 2
+            x = jnp.maximum(x[:, : half * mt], x[:, half * mt : width * mt])
+            width = half
+        out[0, :, t0 : t0 + mt] = x.astype(out.dtype)
+
+
+def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
+                       radius, s, m_tile, interpret):
+    b, n, _ = xyz.shape
+    m = centers.shape[1]
+    c0 = v.shape[-1]
+    nlayers = len(weights)
+    c_last = weights[-1][0].shape[-1]
+    mt = min(m_tile, m)
+    while m % mt:
+        mt -= 1
+
+    xt = jnp.swapaxes(xyz, 1, 2).astype(jnp.float32)  # (B, 3, N)
+    hi = xt.astype(jnp.bfloat16)
+    r1 = xt - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    xyz3T = jnp.concatenate([hi, mid, lo], axis=1)  # (B, 9, N)
+
+    in_specs = [
+        pl.BlockSpec((1, n, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c0, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 9, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c0, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c0, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c0, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [
+        xyz,
+        jnp.swapaxes(centers, 1, 2),
+        jnp.swapaxes(v.astype(jnp.bfloat16), 1, 2),
+        xyz3T,
+        jnp.swapaxes(w0x, 0, 1),
+        mul0.reshape(c0, 1).astype(jnp.float32),
+        add0.reshape(c0, 1).astype(jnp.float32),
+    ]
+    for wgt, bias in weights:
+        ci, co = wgt.shape
+        in_specs.append(pl.BlockSpec((co, ci), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((co, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.swapaxes(wgt.astype(jnp.bfloat16), 0, 1))
+        args.append(bias.reshape(co, 1).astype(jnp.float32))
+
+    outT = pl.pallas_call(
+        partial(_kernel_t, s, float(radius) * float(radius), mt, nlayers),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, c_last, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c_last, m), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
+    return jnp.swapaxes(outT, 1, 2)
+
+
 @partial(jax.jit,
          static_argnames=("radius", "s", "m_tile", "interpret"))
 def sa_ball_mlp_max(
@@ -115,15 +282,20 @@ def sa_ball_mlp_max(
     weights,  # sequence of (W (Ci, Co), b (Co,)); ReLU after each
     radius: float,
     s: int,
-    m_tile: int = 32,
+    m_tile: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    if _use_transposed():
+        return _sa_ball_mlp_max_t(
+            xyz, centers, v, w0x, mul0, add0, tuple(weights),
+            radius, s, m_tile or 128, interpret,
+        )
     b, n, _ = xyz.shape
     m = centers.shape[1]
     c0 = v.shape[-1]
     nlayers = len(weights)
     c_last = weights[-1][0].shape[-1]
-    mt = min(m_tile, m)
+    mt = min(m_tile or 32, m)
     while m % mt:
         mt -= 1
 
