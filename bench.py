@@ -117,6 +117,12 @@ def _canary_kernels():
         pc.packed_conv_bn(x4, cp.pack_kernel(k3, 4), one, zero, 2, 4,
                           relu=True, rows=2),
         jnp.maximum(cp.conv3d_packed_r4(x4, k3, 4, 2), 0)))
+    kc1 = jnp.asarray(r.normal(size=(3, 3, 3, 4, 1)) * 0.2, jnp.bfloat16)
+    try_family("cl1", lambda: close(
+        pc.packed_conv_bn(x4, cp.pack_kernel(kc1, 4),
+                          jnp.ones((4,), jnp.float32),
+                          jnp.zeros((4,), jnp.float32), 1, 4, relu=False),
+        cp.conv3d_packed_r4(x4, kc1, 4, 1)))
     k32 = jnp.asarray(r.normal(size=(3, 3, 3, 4, 8)) * 0.2, jnp.bfloat16)
     try_family("s2", lambda: close(
         pc.packed_conv_bn_s2(x4, cp.pack_kernel_strided(k32, 4), one, zero,

@@ -843,9 +843,26 @@ class PSMNet(nn.Module):
             # conv kernel — no separate full-volume transpose.
             zc = pc(32, name=f"{name}_0")(zp, train, relu=True, out_repack=True)
             zc = zc.reshape(b, h4, w4, d4 * 32)
-            out = _PackedKernelConv(
-                1, d4, 1, dtype=self.dtype, name=f"{name}_1"
-            )(zc)
+            mod = _PackedKernelConv(
+                1, d4, 1, dtype=self.dtype, name=f"{name}_1", in_features=32
+            )
+            if (not train
+                    and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
+                    and not kernel_disabled("cl1")
+                    and not self.is_initializing()):
+                # Pallas dg=1 path: no HBM window materialization (the XLA
+                # windowed form concatenates a (B, H, W, 26*32) halo tensor)
+                from ...ops.conv3d_packed import pack_kernel
+                from ...ops.pallas.packed_conv import packed_conv_bn
+
+                k = mod(raw=True)
+                return packed_conv_bn(
+                    zc.astype(self.dtype),
+                    pack_kernel(k.astype(self.dtype), d4),
+                    jnp.ones((d4,), jnp.float32), jnp.zeros((d4,), jnp.float32),
+                    1, d4, relu=False, interpret=_FORCE_INTERPRET,
+                )
+            out = mod(zc)
             return out  # (B, H, W, D) channels-last disparity
 
         cost1 = classif(out1, "classif1")

@@ -459,10 +459,14 @@ def packed_deconv_bn(
 
 
 def _kernel(dg, g, ci, relu, has_res, rows, halves, *refs):
-    xs = refs[: 3 * halves]  # (xc, xp, xn) per input half
-    ws = refs[3 * halves : 4 * halves]
-    mul, add = refs[4 * halves : 4 * halves + 2]
-    idx = 4 * halves + 2
+    # dg == 1: the whole depth range lives in one N row, so the cross-row
+    # halo is identically zero — xp/xn blocks are not passed at all (saves
+    # two full-block DMAs per step; the classif_1 head is this case).
+    xpb = 3 if dg > 1 else 1
+    xs = refs[: xpb * halves]  # (xc[, xp, xn]) per input half
+    ws = refs[xpb * halves : (xpb + 1) * halves]
+    mul, add = refs[(xpb + 1) * halves : (xpb + 1) * halves + 2]
+    idx = (xpb + 1) * halves + 2
     res = refs[idx] if has_res else None
     out = refs[idx + (1 if has_res else 0)]
     win3 = refs[-1]
@@ -473,7 +477,10 @@ def _kernel(dg, g, ci, relu, has_res, rows, halves, *refs):
 
     acc = jnp.zeros((rows * h * w, co), jnp.float32)
     for hf in range(halves):
-        xc, xp, xn = xs[3 * hf : 3 * hf + 3]
+        if dg > 1:
+            xc, xp, xn = xs[3 * hf : 3 * hf + 3]
+        else:
+            xc, xp, xn = xs[hf], None, None
         w3 = ws[hf]
         # --- per row: center W-tap block [prev last slice | G slices | next
         # first slice]. The depth halo of row j comes from within the block
@@ -484,11 +491,16 @@ def _kernel(dg, g, ci, relu, has_res, rows, halves, *refs):
         # along N), which works even when a block straddles one.
         c0 = winc  # channel offset of the dw=1 (centered) block
         for j in range(rows):
-            gi = (n * rows + j) % dg
-            prev_src = (xp[rows - 1] if j == 0 else xc[j - 1])[:, :, g * ci - ci :]
-            nxt_src = (xn[0] if j == rows - 1 else xc[j + 1])[:, :, :ci]
-            prev = jnp.where(gi == 0, jnp.zeros((), xc.dtype), prev_src)
-            nxt = jnp.where(gi == dg - 1, jnp.zeros((), xc.dtype), nxt_src)
+            if dg > 1:
+                gi = (n * rows + j) % dg
+                prev_src = (xp[rows - 1] if j == 0
+                            else xc[j - 1])[:, :, g * ci - ci :]
+                nxt_src = (xn[0] if j == rows - 1 else xc[j + 1])[:, :, :ci]
+                prev = jnp.where(gi == 0, jnp.zeros((), xc.dtype), prev_src)
+                nxt = jnp.where(gi == dg - 1, jnp.zeros((), xc.dtype), nxt_src)
+            else:
+                prev = jnp.zeros((h, w, ci), xc.dtype)
+                nxt = prev
             win3[j, 1 : h + 1, :, c0 : c0 + ci] = prev
             win3[j, 1 : h + 1, :, c0 + ci : c0 + ci + g * ci] = xc[j]
             win3[j, 1 : h + 1, :, c0 + (g + 1) * ci : c0 + winc] = nxt
@@ -583,17 +595,21 @@ def _conv_call(xs, w2s, mul, add, dg, g, relu, residual, rows, out_repack,
     # clamped at the array edge and zeroed there via the gi test)
     in_specs, args = [], []
     for x4 in xs:
-        in_specs += [
+        in_specs.append(
             pl.BlockSpec((rows, h, w, gci), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, h, w, gci),
-                         lambda i: (jnp.maximum(i - 1, 0), 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, h, w, gci),
-                         lambda i: (jnp.minimum(i + 1, n // rows - 1), 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        args += [x4, x4, x4]
+                         memory_space=pltpu.VMEM))
+        args.append(x4)
+        if dg > 1:  # dg == 1: cross-row depth halo is identically zero
+            in_specs += [
+                pl.BlockSpec((rows, h, w, gci),
+                             lambda i: (jnp.maximum(i - 1, 0), 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (rows, h, w, gci),
+                    lambda i: (jnp.minimum(i + 1, n // rows - 1), 0, 0, 0),
+                    memory_space=pltpu.VMEM),
+            ]
+            args += [x4, x4]
     for w2 in w2s:
         in_specs.append(pl.BlockSpec((3, 3 * winc, co), lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
@@ -640,9 +656,11 @@ def _conv_call(xs, w2s, mul, add, dg, g, relu, residual, rows, out_repack,
         # the residual variant's working set peaks at ~16.3 MB (3 full-row
         # input blocks + residual, double-buffered, + the win3 scratch) —
         # just past Mosaic's default 16 MB scoped-vmem cap; the pair form
-        # doubles the input blocks
+        # doubles the input blocks. The dg==1 (classif_1) case has only one
+        # input block but a (g+2)-wide win3 scratch (~16 MB at g=24).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(24 if halves == 1 else 30) * 1024 * 1024
+            vmem_limit_bytes=(48 if dg == 1
+                              else 24 if halves == 1 else 30) * 1024 * 1024
         ),
         interpret=interpret,
     )(*args)

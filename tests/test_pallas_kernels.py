@@ -166,6 +166,26 @@ def test_packed_conv_bn_interpret_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=1e-4, atol=1e-5)
 
 
+def test_packed_conv_bn_dg1_matches_xla(rng):
+    """dg=1 (whole depth range in one N row — the classif_1 head's G=D,
+    Co=1 geometry): the cross-row halo path is skipped entirely; parity vs
+    the XLA windowed form at a scaled-down classif_1 shape."""
+    from disprcnn_tpu.ops.conv3d_packed import conv3d_packed_r4, pack_kernel
+    from disprcnn_tpu.ops.pallas.packed_conv import packed_conv_bn
+
+    B, H, W, CI, CO, G = 3, 6, 10, 4, 1, 8  # G = full D, dg = 1
+    x4 = jnp.asarray(rng.normal(size=(B, H, W, G * CI)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(3, 3, 3, CI, CO)).astype(np.float32) * 0.2)
+    one = jnp.ones((G * CO,), jnp.float32)
+    zero = jnp.zeros((G * CO,), jnp.float32)
+
+    base = conv3d_packed_r4(x4, kern, G, 1)
+    got = packed_conv_bn(x4, pack_kernel(kern, G), one, zero, 1, G,
+                         relu=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_wpacked_conv_bn_interpret_matches_xla(rng):
     """wpacked_conv_bn (Pallas, interpret mode) vs conv2d_wpacked + BN
     affine (+ReLU, +residual), including the W-edge halos of each image."""

@@ -149,6 +149,24 @@ def main(argv=None):
 
         run("deconv 14->28 rows=4", fdc)
 
+    if "cl1" not in skip:
+        from disprcnn_tpu.ops.conv3d_packed import conv3d_packed_r4, pack_kernel
+        from disprcnn_tpu.ops.pallas import packed_conv as _pcc
+        _conv_bn_cl1 = _maybe_interpret(_pcc.packed_conv_bn)
+
+        kcl = put(r.normal(size=(3, 3, 3, 32, 1)) * 0.1)
+        xcl = put(r.normal(size=(16, 56, 56, 24 * 32)))
+
+        def fcl1():
+            got = _conv_bn_cl1(
+                xcl, pack_kernel(kcl, 24),
+                put(np.ones(24), jnp.float32),
+                put(np.zeros(24), jnp.float32), 1, 24, relu=False)
+            want = conv3d_packed_r4(xcl, kcl, 24, 1)
+            check("cl1", got, want)
+
+        run("cl1 classif G=24 Co=1 dg=1", fcl1)
+
     if "cv" not in skip:
         from disprcnn_tpu.ops.conv3d_packed import pack_kernel
         from disprcnn_tpu.ops.pallas import packed_conv as _pc4
