@@ -27,8 +27,9 @@ CONFIGS = {
     "no_cv": "cv",
     "no_wconv": "wconv",
     "no_softargmin": "softargmin",
+    "no_cl1": "cl1",
     "trunk_off": "conv3d,s2,deconv,cv",
-    "all_off": "conv3d,s2,deconv,cv,wconv,softargmin",
+    "all_off": "conv3d,s2,deconv,cv,wconv,softargmin,cl1",
     "best": "s2,wconv,softargmin",
     "best_plus_deconv_off": "s2,wconv,softargmin,deconv",
 }

@@ -1,0 +1,122 @@
+"""Per-knob A/B of the fused PointRCNN kernels, one tunnel attach.
+
+Times RPN3D (pointnet2 MSG) and RCNNNet standalone under each knob config:
+DISPRCNN_SA_MIN_C0 (the sa_fused engagement gate — scales whose first MLP
+width is below it stay on the XLA op-chain path) and DISPRCNN_PALLAS_DISABLE
+for the sa/fp/pool families. Env is read at trace time; a fresh jit per
+config forces a retrace.
+
+Usage: python tools/ab_stage3.py [--configs name1,name2]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+# name -> (DISPRCNN_SA_MIN_C0, DISPRCNN_PALLAS_DISABLE)
+CONFIGS = {
+    "default(c0=64)": ("64", ""),
+    "c0=32": ("32", ""),
+    "c0=16": ("16", ""),
+    "c0=1": ("1", ""),
+    "no_sa": ("64", "sa"),
+    "no_fp": ("64", "fp"),
+    "no_pool": ("64", "pool"),
+    "all_off": ("64", "sa,fp,pool"),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default=",".join(CONFIGS))
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from disprcnn_tpu.models.pointrcnn import rcnn3d, rpn3d
+    from disprcnn_tpu.models.pointrcnn.point_rcnn import PointRCNN
+    from disprcnn_tpu.utils.benchmarking import device_timeit
+
+    dev = jax.devices()[0]
+    r, n = 16, 768
+    rng = jax.random.PRNGKey(0)
+    prcnn = PointRCNN(npoints=n, rcnn_enabled=True, dtype=jnp.bfloat16)
+    pts0 = jax.random.normal(rng, (r, n, 3)) * 2.0 + jnp.asarray([0, 0, 20.0])
+    ok = jnp.ones((r,), bool)
+    ang = jnp.zeros((r,))
+    mean = jnp.zeros((r, 3))
+
+    cache = "/root/repo/.cache/profile_vpr.pkl"
+    if os.path.exists(cache):
+        v = pickle.load(open(cache, "rb"))
+    else:
+        shapes = jax.eval_shape(
+            lambda k, a: prcnn.init(
+                {"params": k, "sampling": k}, a, ok, ang, mean, train=False
+            ), rng, pts0,
+        )
+        nprng = np.random.default_rng(0)
+
+        def fill(path, s):
+            a = (0.05 * nprng.standard_normal(s.shape)).astype(s.dtype)
+            if any("var" in str(getattr(p, "key", "")) for p in path):
+                a = np.abs(a) + np.asarray(0.9, s.dtype)
+            return a
+
+        v = jax.tree_util.tree_map_with_path(fill, shapes)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        pickle.dump(v, open(cache, "wb"))
+    v = jax.tree.map(jnp.asarray, v)
+    v, pts = jax.device_put((v, pts0), dev)
+
+    rpn = rpn3d.RPN3D(
+        codec_cfg=prcnn.rpn_codec, use_bn=True, npoints=prcnn.sa_npoints,
+        dtype=jnp.bfloat16, name="rpn",
+    )
+    vr = {col: sub["rpn"] for col, sub in v.items() if "rpn" in sub}
+    rc = rcnn3d.RCNNNet(dtype=jnp.bfloat16, name="rcnn")
+    vc = {col: sub["rcnn"] for col, sub in v.items() if "rcnn" in sub}
+    flat = jax.device_put(jnp.asarray(
+        np.random.default_rng(1).standard_normal(
+            (r * 16, prcnn.rcnn_num_points, 133)) * 0.5, jnp.bfloat16), dev)
+
+    base_c0 = os.environ.get("DISPRCNN_SA_MIN_C0")
+    base_dis = os.environ.get("DISPRCNN_PALLAS_DISABLE")
+    rows = []
+    for name in args.configs.split(","):
+        c0, dis = CONFIGS[name]
+        os.environ["DISPRCNN_SA_MIN_C0"] = c0
+        os.environ["DISPRCNN_PALLAS_DISABLE"] = dis
+        frpn = jax.jit(lambda vv, p, _n=name: rpn.apply(
+            vv, p, train=False)["cls"])
+        t_rpn = device_timeit(frpn, vr, pts)
+        frc = jax.jit(lambda vv, p, _n=name: rc.apply(vv, p, train=False))
+        t_rc = device_timeit(frc, vc, flat)
+        rows.append((name, t_rpn, t_rc))
+        print(f"{name:>16}: rpn3d {t_rpn:7.2f} ms   rcnn {t_rc:7.2f} ms",
+              flush=True)
+    for k, b in (("DISPRCNN_SA_MIN_C0", base_c0),
+                 ("DISPRCNN_PALLAS_DISABLE", base_dis)):
+        if b is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = b
+
+    best_rpn = min(rows, key=lambda x: x[1])
+    best_rc = min(rows, key=lambda x: x[2])
+    print(f"\nbest rpn3d: {best_rpn[0]} ({best_rpn[1]:.2f} ms); "
+          f"best rcnn: {best_rc[0]} ({best_rc[2]:.2f} ms)")
+
+
+if __name__ == "__main__":
+    main()
