@@ -32,6 +32,7 @@ CONFIGS = {
     "all_off": "conv3d,s2,deconv,cv,wconv,softargmin,cl1",
     "best": "s2,wconv,softargmin",
     "best_plus_deconv_off": "s2,wconv,softargmin,deconv",
+    "best_no_cl1": "s2,wconv,softargmin,cl1",
 }
 
 
