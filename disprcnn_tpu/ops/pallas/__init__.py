@@ -8,6 +8,7 @@ kernel that only ever ran in interpret mode meets real Mosaic. Tags:
   s2       stride-2 packed conv
   deconv   packed transposed conv
   cv       fused cost-volume + first conv
+  cl1      Pallas dg=1 classif-head conv (single-output-channel trunk conv)
   wconv    W-packed tower conv
   sa       whole-scale ball+gather+MLP+max
   pool     grouped-MLP+max (SharedMLP._fused_pool)

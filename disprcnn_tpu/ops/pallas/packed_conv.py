@@ -490,20 +490,25 @@ def _kernel(dg, g, ci, relu, has_res, rows, halves, *refs):
         # here). gi = global row % dg detects image boundaries (images stack
         # along N), which works even when a block straddles one.
         c0 = winc  # channel offset of the dw=1 (centered) block
-        for j in range(rows):
-            if dg > 1:
+        if dg > 1:
+            for j in range(rows):
                 gi = (n * rows + j) % dg
                 prev_src = (xp[rows - 1] if j == 0
                             else xc[j - 1])[:, :, g * ci - ci :]
                 nxt_src = (xn[0] if j == rows - 1 else xc[j + 1])[:, :, :ci]
                 prev = jnp.where(gi == 0, jnp.zeros((), xc.dtype), prev_src)
-                nxt = jnp.where(gi == dg - 1, jnp.zeros((), xc.dtype), nxt_src)
-            else:
-                prev = jnp.zeros((h, w, ci), xc.dtype)
-                nxt = prev
-            win3[j, 1 : h + 1, :, c0 : c0 + ci] = prev
-            win3[j, 1 : h + 1, :, c0 + ci : c0 + ci + g * ci] = xc[j]
-            win3[j, 1 : h + 1, :, c0 + (g + 1) * ci : c0 + winc] = nxt
+                nxt = jnp.where(gi == dg - 1, jnp.zeros((), xc.dtype),
+                                nxt_src)
+                win3[j, 1 : h + 1, :, c0 : c0 + ci] = prev
+                win3[j, 1 : h + 1, :, c0 + ci : c0 + ci + g * ci] = xc[j]
+                win3[j, 1 : h + 1, :, c0 + (g + 1) * ci : c0 + winc] = nxt
+        else:
+            # dg==1: the depth halo is identically zero for every row; fill
+            # the halo columns once (batched over rows) instead of per-row.
+            zh = jnp.zeros((rows, h, w, ci), xc.dtype)
+            win3[:, 1 : h + 1, :, c0 : c0 + ci] = zh
+            win3[:, 1 : h + 1, :, c0 + ci : c0 + ci + g * ci] = xc[...]
+            win3[:, 1 : h + 1, :, c0 + (g + 1) * ci : c0 + winc] = zh
         zrow = jnp.zeros((rows, 1, w, winc), xc.dtype)
         win3[:, 0:1, :, c0 : 2 * winc] = zrow  # kh halo rows (SAME padding)
         win3[:, h + 1 : h + 2, :, c0 : 2 * winc] = zrow

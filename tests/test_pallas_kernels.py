@@ -184,6 +184,12 @@ def test_packed_conv_bn_dg1_matches_xla(rng):
                          relu=False, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                rtol=1e-4, atol=1e-5)
+    # rows>1 arm of the dg==1 branch (batched halo zero-fill): same parity
+    # with 3 images per grid step.
+    got3 = packed_conv_bn(x4, pack_kernel(kern, G), one, zero, 1, G,
+                          relu=False, rows=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(base),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_wpacked_conv_bn_interpret_matches_xla(rng):

@@ -90,27 +90,33 @@ def main():
         np.random.default_rng(1).standard_normal(
             (r * 16, prcnn.rcnn_num_points, 133)) * 0.5, jnp.bfloat16), dev)
 
+    names = [n_ for n_ in args.configs.split(",") if n_.strip()]
+    unknown = [n_ for n_ in names if n_ not in CONFIGS]
+    if unknown:
+        sys.exit(f"unknown --configs {unknown}; choose from {list(CONFIGS)}")
     base_c0 = os.environ.get("DISPRCNN_SA_MIN_C0")
     base_dis = os.environ.get("DISPRCNN_PALLAS_DISABLE")
     rows = []
-    for name in args.configs.split(","):
-        c0, dis = CONFIGS[name]
-        os.environ["DISPRCNN_SA_MIN_C0"] = c0
-        os.environ["DISPRCNN_PALLAS_DISABLE"] = dis
-        frpn = jax.jit(lambda vv, p, _n=name: rpn.apply(
-            vv, p, train=False)["cls"])
-        t_rpn = device_timeit(frpn, vr, pts)
-        frc = jax.jit(lambda vv, p, _n=name: rc.apply(vv, p, train=False))
-        t_rc = device_timeit(frc, vc, flat)
-        rows.append((name, t_rpn, t_rc))
-        print(f"{name:>16}: rpn3d {t_rpn:7.2f} ms   rcnn {t_rc:7.2f} ms",
-              flush=True)
-    for k, b in (("DISPRCNN_SA_MIN_C0", base_c0),
-                 ("DISPRCNN_PALLAS_DISABLE", base_dis)):
-        if b is None:
-            os.environ.pop(k, None)
-        else:
-            os.environ[k] = b
+    try:
+        for name in names:
+            c0, dis = CONFIGS[name]
+            os.environ["DISPRCNN_SA_MIN_C0"] = c0
+            os.environ["DISPRCNN_PALLAS_DISABLE"] = dis
+            frpn = jax.jit(lambda vv, p, _n=name: rpn.apply(
+                vv, p, train=False)["cls"])
+            t_rpn = device_timeit(frpn, vr, pts)
+            frc = jax.jit(lambda vv, p, _n=name: rc.apply(vv, p, train=False))
+            t_rc = device_timeit(frc, vc, flat)
+            rows.append((name, t_rpn, t_rc))
+            print(f"{name:>16}: rpn3d {t_rpn:7.2f} ms   rcnn {t_rc:7.2f} ms",
+                  flush=True)
+    finally:
+        for k, b in (("DISPRCNN_SA_MIN_C0", base_c0),
+                     ("DISPRCNN_PALLAS_DISABLE", base_dis)):
+            if b is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = b
 
     best_rpn = min(rows, key=lambda x: x[1])
     best_rc = min(rows, key=lambda x: x[2])
