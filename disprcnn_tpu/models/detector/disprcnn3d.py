@@ -134,6 +134,7 @@ class DispRCNN3D(nn.Module):
     rpn_nms_rotated: bool = False  # RPN.NMS_TYPE
     rpn_distance_based: bool = False  # TEST.RPN_DISTANCE_BASED_PROPOSE
     rpn_nms_thresh: float = 0.8  # TEST.RPN_NMS_THRESH
+    psm_hourglass: int = 3  # <3 only for the multichip dryrun (compile size)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -182,12 +183,13 @@ class DispRCNN3D(nn.Module):
         right_crops = crop_and_normalize(right_img, rb, batch_idx, self.roi_size)
 
         psm = PSMNet(
-            maxdisp=self.maxdisp, mindisp=self.mindisp, dtype=self.dtype, name="idispnet"
+            maxdisp=self.maxdisp, mindisp=self.mindisp,
+            num_hourglass=self.psm_hourglass, dtype=self.dtype, name="idispnet"
         )
         out = {}
         if train and train_psm:
-            p1, p2, p3 = psm(left_crops, right_crops, train=True)
-            disp_roi = p3
+            preds = psm(left_crops, right_crops, train=True)
+            disp_roi = preds[-1]
         else:
             disp_roi = psm(left_crops, right_crops, train=False)
 
@@ -205,7 +207,9 @@ class DispRCNN3D(nn.Module):
             ).astype(disp_roi.dtype)
             denom = jnp.maximum(jnp.sum(m), 1.0)
             loss = 0.0
-            for w_, p in zip((0.5, 0.7, 1.0), (p1, p2, p3)):
+            # deep-supervision weights: last pred always carries 1.0
+            # (stackhourglass deep supervision, train_psmnet loss weights)
+            for w_, p in zip((0.5, 0.7, 1.0)[-len(preds):], preds):
                 ax = jnp.abs(p - tgt)
                 sl1 = jnp.where(ax < 1.0, 0.5 * ax * ax, ax - 0.5)
                 loss = loss + w_ * jnp.sum(sl1 * m) / denom

@@ -509,7 +509,9 @@ class Pointnet2MSG(nn.Module):
             )(l_xyz[k], l_feats[k], train)
             l_xyz.append(nx)
             l_feats.append(nf)
-        for i in range(len(self.fp_mlps) - 1, -1, -1):
+        # level count follows npoints (a shorter tuple — e.g. the multichip
+        # dryrun's 3-level config — uses the first k SA/FP defaults)
+        for i in range(len(self.npoints) - 1, -1, -1):
             l_feats[i] = FPModule(
                 mlp=self.fp_mlps[i], use_bn=self.use_bn, dtype=self.dtype, name=f"fp{i}",
             )(l_xyz[i], l_xyz[i + 1], l_feats[i], l_feats[i + 1], train)

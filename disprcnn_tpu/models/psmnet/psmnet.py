@@ -606,7 +606,26 @@ class PackedConvBN3d(nn.Module):
             n, h, w = x4[0].shape[:3]
             parts = [v.reshape(n, h, w, self.group, -1) for v in x4]
             x4 = jnp.concatenate(parts, axis=-1).reshape(n, h, w, -1)
-        y = conv(x4)
+        use_pallas_train = (
+            train
+            and self.stride == 1
+            and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
+            and not kernel_disabled("convtrain")
+            and not self.is_initializing()
+            and eff * rows >= 1500
+        )
+        if use_pallas_train:
+            # fused VMEM window-build fwd + XLA-transpose bwd (custom_vjp,
+            # ops/pallas/packed_conv.packed_conv_train); batch-stat BN stays
+            # the XLA module below — it needs the raw conv output anyway
+            from ...ops.pallas.packed_conv import packed_conv_train
+
+            y = packed_conv_train(
+                x4.astype(self.dtype), conv(raw=True).astype(self.dtype),
+                self.dg, self.group, rows, _FORCE_INTERPRET,
+            )
+        else:
+            y = conv(x4)
         y = bn(y, train)
         if residual is not None:
             y = y + residual.astype(y.dtype)
@@ -773,10 +792,16 @@ def soft_argmin(prob: jnp.ndarray, mindisp: int, maxdisp: int) -> jnp.ndarray:
 
 
 class PSMNet(nn.Module):
-    """Full iDispNet. __call__(left, right) -> pred3 (eval) or (p1, p2, p3)."""
+    """Full iDispNet. __call__(left, right) -> pred (eval) or the
+    deep-supervision tuple ((p1, p2, p3) at the default num_hourglass=3)."""
 
     maxdisp: int = 48
     mindisp: int = -48
+    # 3 = reference (stackhourglass.py:130-144). Smaller values keep the
+    # exact layer names/order of the first k hourglasses + classif heads —
+    # used by the multichip dryrun to shrink the XLA:CPU compile, never by
+    # the flagship configs.
+    num_hourglass: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -824,15 +849,23 @@ class PSMNet(nn.Module):
 
         hg = partial(Hourglass, 32, dtype=self.dtype, packed_group=G, packed_dg=dg)
         # the `+ cost0p` trunk skips ride the up2 deconv kernels as fused
-        # residuals (stackhourglass.py:136-144 semantics, same adds)
-        out1, pre1, post1 = hg(name="dres2")(
-            cost0p, None, None, train, final_residual=cost0p)
-        out2, pre2, post2 = hg(name="dres3")(
-            out1, pre1, post1, train, final_residual=cost0p)
-        out3, pre3, post3 = hg(name="dres4")(
-            out2, pre1, post2, train, final_residual=cost0p)
+        # residuals (stackhourglass.py:136-144 semantics, same adds).
+        # Quirk kept from the reference: hourglass k>=2 receives pre1 (NOT
+        # pre_{k-1}) as its presqu input (stackhourglass.py:139-141).
+        outs, pres, posts = [], [], []
+        inp = cost0p
+        for i in range(self.num_hourglass):
+            o, pre, post = hg(name=f"dres{2 + i}")(
+                inp,
+                None if i == 0 else pres[0],
+                None if i == 0 else posts[-1],
+                train, final_residual=cost0p)
+            outs.append(o)
+            pres.append(pre)
+            posts.append(post)
+            inp = o
         if profile_stage == "hg":
-            return out1, out2, out3
+            return tuple(outs)
 
         h4, w4 = lf.shape[1], lf.shape[2]
 
@@ -865,11 +898,12 @@ class PSMNet(nn.Module):
             out = mod(zc)
             return out  # (B, H, W, D) channels-last disparity
 
-        cost1 = classif(out1, "classif1")
-        cost2 = classif(out2, "classif2") + cost1
-        cost3 = classif(out3, "classif3") + cost2
+        costs = []
+        for i, o in enumerate(outs):
+            c = classif(o, f"classif{i + 1}")
+            costs.append(c if i == 0 else c + costs[-1])
         if profile_stage == "classif":
-            return cost3
+            return costs[-1]
 
         d_full = self.maxdisp - self.mindisp
 
@@ -897,5 +931,5 @@ class PSMNet(nn.Module):
             return jnp.einsum("bhwd,d->bhw", p, disp)
 
         if train:
-            return regress(cost1), regress(cost2), regress(cost3)
-        return regress(cost3)
+            return tuple(regress(c) for c in costs)
+        return regress(costs[-1])
