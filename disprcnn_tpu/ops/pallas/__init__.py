@@ -4,6 +4,7 @@ DISPRCNN_PALLAS_DISABLE: comma list of kernel-family tags to turn off at
 trace time (the XLA fallbacks run instead) — for on-chip bisection when a
 kernel that only ever ran in interpret mode meets real Mosaic. Tags:
   conv3d   stride-1 packed trunk conv (+pair/out_repack variants)
+  convtrain  train-path stride-1 trunk conv (Pallas fwd + custom_vjp bwd)
   roipool  fused 3D ROI pooling (mask + first-k-cycled gather)
   s2       stride-2 packed conv
   deconv   packed transposed conv

@@ -91,3 +91,60 @@ def test_rpn3d_forward_fused_interpret(rng):
         np.testing.assert_allclose(
             np.asarray(got[k], np.float32), np.asarray(want[k], np.float32),
             rtol=6e-2, atol=6e-2, err_msg=k)
+
+
+@pytest.mark.slow
+def test_psmnet_train_grads_fused_interpret(rng):
+    """TRAIN-path integration for the custom_vjp conv (convtrain family):
+    full PSMNet train=True forward + parameter gradients with the Pallas
+    fwd/XLA-transpose bwd engaged at every stride-1 trunk site, vs the pure
+    XLA path. f32, so the only allowed difference is accumulation order."""
+    import os
+
+    import disprcnn_tpu.models.psmnet.psmnet as psm
+    from disprcnn_tpu.models.psmnet.psmnet import PSMNet
+
+    # 96^2 crops: quarter res 24^2 -> eff=576, N=B*dg=4 rows -> rows=4,
+    # eff*rows=2304 >= 1500 so the convtrain gate engages (same gate as the
+    # eval conv3d family)
+    b, h, w = 2, 96, 96
+    left = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32))
+    model = PSMNet(maxdisp=16, mindisp=-16, dtype=jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, left, right, train=False)
+
+    def loss(params):
+        preds, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            left, right, train=True, mutable=["batch_stats"],
+        )
+        return sum(jnp.mean(p * p) for p in preds)
+
+    lx, gx = jax.value_and_grad(loss)(v["params"])
+    assert os.environ.get("DISPRCNN_PALLAS_DISABLE", "") == ""
+    try:
+        psm._FORCE_INTERPRET = True
+        lp, gp = jax.value_and_grad(loss)(v["params"])
+    finally:
+        psm._FORCE_INTERPRET = False
+
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-4)
+    flat_x = jax.tree_util.tree_leaves_with_path(gx)
+    flat_p = {jax.tree_util.keystr(k): a
+              for k, a in jax.tree_util.tree_leaves_with_path(gp)}
+    # Two gates: per-leaf RELATIVE FROBENIUS error plus a loose max-entry
+    # bound. Measured divergence tops out ~1.7e-3 and sits in the FEATURE
+    # TOWER's BN biases — layers that are pure XLA in BOTH runs, at the far
+    # end of the backprop chain: pure f32 reassociation accumulated through
+    # ~40 layers of bwd (the loss itself agrees to 1e-7 relative, and the
+    # op-level unit test pins the kernel to 1e-4). The gates exist to catch
+    # wiring bugs, which produce O(1) divergence, not O(1e-3).
+    worst_n, worst_m = 0.0, 0.0
+    for k, ax in flat_x:
+        ap = np.asarray(flat_p[jax.tree_util.keystr(k)], np.float64)
+        ax = np.asarray(ax, np.float64)
+        dn = np.linalg.norm(ap - ax) / max(np.linalg.norm(ax), 1e-6)
+        dm = np.abs(ap - ax).max() / max(np.abs(ax).max(), 1e-6)
+        worst_n, worst_m = max(worst_n, dn), max(worst_m, dm)
+    assert worst_n < 5e-3, f"relative grad norm divergence {worst_n:.2e}"
+    assert worst_m < 3e-2, f"max relative grad entry divergence {worst_m:.2e}"

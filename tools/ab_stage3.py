@@ -35,6 +35,8 @@ CONFIGS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default=",".join(CONFIGS))
+    ap.add_argument("--post-nms", type=int, default=16,
+                    help="proposals/ROI feeding the RCNN (reference: 100)")
     args = ap.parse_args()
 
     import jax
@@ -88,7 +90,8 @@ def main():
     vc = {col: sub["rcnn"] for col, sub in v.items() if "rcnn" in sub}
     flat = jax.device_put(jnp.asarray(
         np.random.default_rng(1).standard_normal(
-            (r * 16, prcnn.rcnn_num_points, 133)) * 0.5, jnp.bfloat16), dev)
+            (r * args.post_nms, prcnn.rcnn_num_points, 133)) * 0.5,
+        jnp.bfloat16), dev)
 
     names = [n_ for n_ in args.configs.split(",") if n_.strip()]
     unknown = [n_ for n_ in names if n_ not in CONFIGS]

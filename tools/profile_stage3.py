@@ -20,6 +20,15 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pre-nms", type=int, default=128,
+                    help="3D RPN pre-NMS budget (reference recipe: 768)")
+    ap.add_argument("--post-nms", type=int, default=16,
+                    help="3D RPN post-NMS proposals/ROI (reference: 100)")
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -89,7 +98,8 @@ def main():
     def fprop(cls, reg, xyz):
         return rpn3d.propose(
             cls, reg, xyz, anchor, prcnn.rpn_codec,
-            pre_nms_top_n=128, post_nms_top_n=16, nms_thresh=0.8, rotated=False,
+            pre_nms_top_n=args.pre_nms, post_nms_top_n=args.post_nms,
+            nms_thresh=0.8, rotated=False,
         )
 
     fprop_j = jax.jit(fprop)
