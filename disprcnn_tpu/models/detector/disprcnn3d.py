@@ -53,7 +53,11 @@ def crop_and_normalize(
     size: int = 224,
 ) -> jnp.ndarray:
     """224^2 crops, ImageNet-normalized (disprcnn3d.py:44-50)."""
-    crops = roi_align_batched(images, boxes, batch_idx, size, 1.0, sampling_ratio=1)
+    crops = roi_align_batched(
+        images, boxes, batch_idx, size, 1.0, sampling_ratio=1,
+        rois_per_image=(boxes.shape[0] // images.shape[0]
+                        if boxes.shape[0] % images.shape[0] == 0 else None),
+    )
     mean = jnp.asarray(IMAGENET_MEAN, crops.dtype)
     std = jnp.asarray(IMAGENET_STD, crops.dtype)
     return (crops - mean) / std

@@ -73,6 +73,9 @@ class C4BoxHead(nn.Module):
         x = roi_align_batched(
             feat_c4, boxes, batch_idx, self.resolution,
             spatial_scale=self.scale, sampling_ratio=self.sampling_ratio,
+            rois_per_image=(boxes.shape[0] // feat_c4.shape[0]
+                            if boxes.shape[0] % feat_c4.shape[0] == 0
+                            else None),
         )
         x = Stage5Head(
             body=self.body, use_gn=self.use_gn, dtype=self.dtype, name="head"

@@ -86,10 +86,14 @@ class DispModule(nn.Module):
         [train: the (p1, p2, p3) deep-supervision triple]."""
 
         def pool(feats, boxes):
+            # callers pass row-major regular ROIs (batch_idx ==
+            # repeat(arange(B), K)) -> batch-linear per-image contraction
+            b = feats[0].shape[0]
+            rpi = boxes.shape[0] // b if boxes.shape[0] % b == 0 else None
             per_level = [
                 roi_align_batched(
                     f, boxes, batch_idx, self.resolution, spatial_scale=s,
-                    sampling_ratio=self.sampling_ratio,
+                    sampling_ratio=self.sampling_ratio, rois_per_image=rpi,
                 )
                 for f, s in zip(feats, self.pooler_scales)
             ]

@@ -38,14 +38,22 @@ def fpn_roi_align(
     scales: Sequence[float],  # per level, e.g. (1/4, 1/8, 1/16, 1/32)
     resolution: int,
     sampling_ratio: int,
+    regular: bool = True,  # every in-repo caller passes ROIs row-major with
+    # batch_idx == repeat(arange(B), K); that regularity lets roi_align use
+    # its batch-LINEAR per-image contraction (the flat form's dot flops grow
+    # as B^2 — the round-3 batch-superlinear term). Pass False for irregular
+    # batch_idx layouts.
 ) -> jnp.ndarray:
     """-> (N, resolution, resolution, C)."""
+    b = features[0].shape[0]
+    n = boxes.shape[0]
+    rpi = n // b if (regular and n % b == 0) else None
     levels = assign_levels(boxes)
     pooled = jnp.stack(
         [
             roi_align_batched(
                 f, boxes, batch_idx, resolution, spatial_scale=s,
-                sampling_ratio=sampling_ratio,
+                sampling_ratio=sampling_ratio, rois_per_image=rpi,
             )
             for f, s in zip(features, scales)
         ],

@@ -89,7 +89,32 @@ def roi_align(
     )
 
 
-@partial(jax.jit, static_argnames=("pooled", "spatial_scale", "sampling_ratio"))
+def _interp_matrices(box, h, w, pooled, s, spatial_scale):
+    """Per-ROI separable bilinear+bin-average matrices, image-local:
+    -> my (pooled, H), mx (pooled, W)."""
+    x1, y1 = box[0] * spatial_scale, box[1] * spatial_scale
+    x2, y2 = box[2] * spatial_scale, box[3] * spatial_scale
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    ys = _sample_grid_1d(y1, roi_h / pooled, pooled, s)
+    xs = _sample_grid_1d(x1, roi_w / pooled, pooled, s)
+    y0, y1i, wy0, wy1 = _interp_axis(ys, h)
+    x0, x1i, wx0, wx1 = _interp_axis(xs, w)
+    iota_h = jnp.arange(h)
+    my = (iota_h[None, :] == y0[:, None]) * wy0[:, None] + (
+        iota_h[None, :] == y1i[:, None]
+    ) * wy1[:, None]
+    my = my.reshape(pooled, s, h).mean(axis=1)
+    iota_w = jnp.arange(w)
+    mx = (iota_w[None, :] == x0[:, None]) * wx0[:, None] + (
+        iota_w[None, :] == x1i[:, None]
+    ) * wx1[:, None]
+    mx = mx.reshape(pooled, s, w).mean(axis=1)
+    return my, mx
+
+
+@partial(jax.jit, static_argnames=("pooled", "spatial_scale",
+                                   "sampling_ratio", "rois_per_image"))
 def roi_align_batched(
     features: jnp.ndarray,  # (B, H, W, C)
     boxes: jnp.ndarray,  # (N, 4)
@@ -97,6 +122,7 @@ def roi_align_batched(
     pooled: int,
     spatial_scale: float = 1.0,
     sampling_ratio: int = 2,
+    rois_per_image: int | None = None,
 ) -> jnp.ndarray:
     """ROIAlign with per-ROI batch indices -> (N, pooled, pooled, C).
 
@@ -108,9 +134,36 @@ def roi_align_batched(
     the gather version cost 15.6 ms for 300 ROIs on a P2-sized map, this
     runs in ~1 ms). The per-ROI batch index folds into My as a bi*H column
     offset on the flattened (B*H) axis.
+
+    rois_per_image: when the caller's boxes are REGULAR — exactly K ROIs per
+    image, row-major, batch_idx == repeat(arange(B), K) (every model call
+    site is) — pass K to take the per-image batched contraction instead.
+    The flattened form's My columns span B*H, so its dot flops grow as
+    B^2 (measured: the whole 2D stage's per-pair HLO flops rose 0.757 ->
+    1.394 TFLOP from pairs=1 to 8, ~0.09 TFLOP*B^2 — the round-3 bench's
+    batch-superlinear term). The per-image form is batch-linear AND its
+    intermediate carries min(H, W) instead of the flat axis.
     """
     s = sampling_ratio if sampling_ratio > 0 else 2
     b, h, w, c = features.shape
+    if rois_per_image is not None:
+        assert boxes.shape[0] == b * rois_per_image, (boxes.shape, b,
+                                                      rois_per_image)
+        k = rois_per_image
+        my, mx = jax.vmap(jax.vmap(
+            lambda bx: _interp_matrices(bx, h, w, pooled, s, spatial_scale)
+        ))(boxes.reshape(b, k, 4))
+        my = my.astype(features.dtype)  # (B, K, P, H)
+        mx = mx.astype(features.dtype)  # (B, K, P, W)
+        # contract the LONGER spatial axis first: the intermediate carries
+        # the other one
+        if w >= h:
+            t = jnp.einsum("bkqw,bhwc->bkqhc", mx, features)
+            out = jnp.einsum("bkph,bkqhc->bkpqc", my, t)
+        else:
+            t = jnp.einsum("bkph,bhwc->bkpwc", my, features)
+            out = jnp.einsum("bkqw,bkpwc->bkpqc", mx, t)
+        return out.reshape(b * k, pooled, pooled, c)
     flat = features.reshape(b * h, w, c)
 
     def matrices(box, bi):

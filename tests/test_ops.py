@@ -506,3 +506,29 @@ def test_fp_fused_matches_xla(monkeypatch, rng):
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=4e-2, atol=2e-2)
+
+
+def test_roi_align_regular_matches_flat(rng):
+    """The rois_per_image (batch-LINEAR per-image contraction) path must be
+    bit-compatible with the flat (B*H)-axis path it replaces — the flat
+    form's dot flops grow as B^2 (round-3 batch-superlinear bench term)."""
+    from disprcnn_tpu.ops.roi_align import roi_align_batched
+
+    b, h, w, c, k = 3, 12, 9, 5, 4
+    feat = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    boxes = jnp.asarray(
+        rng.uniform(0, 8, (b * k, 4)).astype(np.float32))
+    boxes = boxes.at[:, 2:].set(boxes[:, :2] + 1.0 + boxes[:, 2:])
+    bi = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+    for pooled, s, scale in ((4, 2, 1.0), (3, 1, 0.5)):
+        flat = roi_align_batched(feat, boxes, bi, pooled, scale, s)
+        reg = roi_align_batched(feat, boxes, bi, pooled, scale, s,
+                                rois_per_image=k)
+        np.testing.assert_allclose(np.asarray(reg), np.asarray(flat),
+                                   rtol=1e-5, atol=1e-6)
+    # tall map exercises the other contraction order (h > w)
+    feat2 = jnp.asarray(rng.normal(size=(b, 9, 12, c)).astype(np.float32))
+    flat = roi_align_batched(feat2, boxes, bi, 4, 1.0, 2)
+    reg = roi_align_batched(feat2, boxes, bi, 4, 1.0, 2, rois_per_image=k)
+    np.testing.assert_allclose(np.asarray(reg), np.asarray(flat),
+                               rtol=1e-5, atol=1e-6)
