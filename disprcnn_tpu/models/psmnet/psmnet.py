@@ -499,6 +499,28 @@ class PackedConvBN3d(nn.Module):
         if cost_volume is not None:
             lf, rf, mind4 = cost_volume
             maxd4 = mind4 + self.dg * self.group
+            if not kernel_disabled("cvdec") and not self.is_initializing():
+                # decomposed 2D-conv identity (ops/cv_conv.py): ~24x fewer
+                # true FLOPs than any dense-3D-conv form, pure XLA and
+                # differentiable — serves train AND eval, every backend
+                from ...ops.cv_conv import cost_volume_conv_decomposed
+
+                c = lf.shape[-1]
+                conv = _PackedKernelConv(
+                    self.features, self.group, self.dg, 1, self.dtype,
+                    in_features=2 * c, name="Conv_0",
+                )
+                bn = _PackedBN(
+                    self.features, self.group, dtype=self.dtype,
+                    name="BatchNorm_0",
+                )
+                dt = self.dtype
+                y = cost_volume_conv_decomposed(
+                    lf.astype(dt), rf.astype(dt), conv(raw=True).astype(dt),
+                    mind4, maxd4, self.group,
+                )
+                y = bn(y, train)
+                return nn.relu(y) if relu else y
             if (not train
                     and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
                     and not kernel_disabled("cv")
@@ -829,9 +851,12 @@ class PSMNet(nn.Module):
         G = 4
         dg = d4 // G
         pc = partial(PackedConvBN3d, group=G, dg=dg, dtype=self.dtype)
-        if not train and (jax.default_backend() == "tpu" or _FORCE_INTERPRET):
-            # cost-volume build fused into dres0_0's kernel (or the split
-            # fallback inside the module during init)
+        if (not kernel_disabled("cvdec")
+                or (not train
+                    and (jax.default_backend() == "tpu" or _FORCE_INTERPRET))):
+            # cost-volume + dres0_0 via the decomposed 2D-conv identity
+            # (ops/cv_conv.py, any backend/train) or the fused Pallas kernel
+            # (eval TPU); the split XLA fallback runs during init
             x = pc(32, name="dres0_0")(
                 None, train, relu=True,
                 cost_volume=(lf, rf, self.mindisp // 4),

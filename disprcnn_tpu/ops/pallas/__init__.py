@@ -9,6 +9,10 @@ kernel that only ever ran in interpret mode meets real Mosaic. Tags:
   s2       stride-2 packed conv
   deconv   packed transposed conv
   cv       fused cost-volume + first conv
+  cvdec    decomposed cost-volume conv (2D-conv identity, ops/cv_conv.py —
+           XLA, not Pallas, but A/B'd through the same switch; when ON it
+           replaces BOTH the 'cv' Pallas kernel and the train-path
+           volume-build+conv)
   cl1      Pallas dg=1 classif-head conv (single-output-channel trunk conv)
   wconv    W-packed tower conv
   sa       whole-scale ball+gather+MLP+max
