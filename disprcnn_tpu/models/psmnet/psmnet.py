@@ -40,6 +40,26 @@ def _fold_bn_affine(scale, bias, mean, var, eps=1e-5):
     return mul, bias - mean * mul
 
 
+def _conv3d_min_hw() -> int:
+    """Per-SITE spatial gate for the fused stride-1/deconv Pallas kernels.
+
+    The round-3 family A/B (all sites share one tag) hid a big per-site
+    variance — tools/bench_trunk_sites.py, TPU v5e, 2026-08-19:
+        site (geometry)              pallas    xla
+        dres_s1 (56^2, G=4)           1.136   3.397   -> Pallas wins 3x
+        hg_s1_b (28^2, G=2)           0.588   0.321   -> XLA wins 1.8x
+        hg_s1_d (14^2, G=1)           0.404   0.032   -> XLA wins 12x
+        hg_deconv0 (14^2 in)          0.415   0.070   -> XLA wins 6x
+        hg_deconv1 (28^2 in)          0.661   0.591   -> XLA wins
+    The kernel's per-grid-step overhead dominates below ~2-3k spatial
+    positions per N row; XLA's windowed banded conv is excellent there.
+    Gate on the per-row H*W (input side), default 2000: full-res 56^2
+    engages Pallas, 28^2/14^2 fall back to XLA."""
+    import os
+
+    return int(os.environ.get("DISPRCNN_CONV3D_MIN_HW", "2000"))
+
+
 def _amortize_rows(work_per_row, n_rows, target=1500, cap=8):
     """Rows per Pallas grid step so each step's dot has >= `target` rows
     (below that the per-step overhead dominates — measured, see
@@ -578,6 +598,9 @@ class PackedConvBN3d(nn.Module):
             and not kernel_disabled("s2" if self.stride == 2 else "conv3d")
             and not self.is_initializing()
             and eff * rows >= 1500
+            # per-site gate (measured, see above); interpret mode bypasses it
+            # so the kernel paths stay test-covered at tiny shapes
+            and (hw >= _conv3d_min_hw() or _FORCE_INTERPRET)
         )
         if use_pallas:
             from ...ops.conv3d_packed import pack_kernel, pack_kernel_strided
@@ -635,6 +658,7 @@ class PackedConvBN3d(nn.Module):
             and not kernel_disabled("convtrain")
             and not self.is_initializing()
             and eff * rows >= 1500
+            and (hw >= _conv3d_min_hw() or _FORCE_INTERPRET)
         )
         if use_pallas_train:
             # fused VMEM window-build fwd + XLA-transpose bwd (custom_vjp,
@@ -713,7 +737,11 @@ class Hourglass(nn.Module):
                         and (jax.default_backend() == "tpu"
                              or _FORCE_INTERPRET)
                         and not kernel_disabled("deconv")
-                        and not self.is_initializing()):
+                        and not self.is_initializing()
+                        and (hw >= _conv3d_min_hw() or _FORCE_INTERPRET)):
+                    # measured: both hourglass deconvs (14^2/28^2 inputs)
+                    # lose to XLA — gated off unless DISPRCNN_CONV3D_MIN_HW
+                    # is lowered
                     from ...ops.conv3d_packed import pack_kernel_transposed
                     from ...ops.pallas.packed_conv import packed_deconv_bn
 
