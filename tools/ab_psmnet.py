@@ -33,6 +33,10 @@ CONFIGS = {
     "best": "s2,wconv,softargmin",
     "best_plus_deconv_off": "s2,wconv,softargmin,deconv",
     "best_no_cl1": "s2,wconv,softargmin,cl1",
+    # round 4: default now = site-gated kernels + decomposed cv conv
+    "default": "",
+    "no_cvdec": "cvdec",            # falls back to the Pallas cv kernel
+    "no_cvdec_no_cv": "cvdec,cv",   # XLA split volume build + conv
 }
 
 
@@ -40,7 +44,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rois", type=int, default=16)
     ap.add_argument("--configs", default=",".join(CONFIGS))
+    ap.add_argument("--min-hw", default=None,
+                    help="override DISPRCNN_CONV3D_MIN_HW (per-site gate)")
     args = ap.parse_args()
+    if args.min_hw is not None:
+        os.environ["DISPRCNN_CONV3D_MIN_HW"] = args.min_hw
 
     import jax
 
