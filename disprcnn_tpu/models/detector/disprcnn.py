@@ -263,15 +263,14 @@ class DispRCNN(nn.Module):
             return out
 
         # ---- inference ----
-        dets = jax.vmap(
-            lambda cl, bd, pr: bh.postprocess(
-                cl, bd, pr, (img_h, img_w), self.score_thresh, self.box_nms_thresh,
-                self.detections_per_img, self.max_det,
-            )
-        )(
+        # natively batched: the vmapped per-image form's gathers lowered to
+        # generic batched gathers — 2.47 ms of the 2D stage (profile_2d,
+        # 2026-08-19) for P=300 worth of postproc
+        dets = bh.postprocess_batched(
             class_logits.reshape(b, p, -1),
             box_deltas.reshape(b, p, -1),
-            rois,
+            rois, (img_h, img_w), self.score_thresh, self.box_nms_thresh,
+            self.detections_per_img, self.max_det,
         )
         out["detections"] = dets
         if self.mask_on:

@@ -131,6 +131,72 @@ def head_loss(
     return cls_loss, box_loss
 
 
+def postprocess_batched(
+    class_logits: jnp.ndarray,  # (B, P, C)
+    box_deltas: jnp.ndarray,  # (B, P, C*6)
+    proposals: StereoBoxes,  # leading batch axis (B, P, ...)
+    image_hw: Tuple[int, int],
+    score_thresh: float = 0.05,
+    nms_thresh: float = 0.5,
+    detections_per_img: int = 100,
+    max_out: int = 32,
+) -> StereoBoxes:
+    """Natively-batched `postprocess` (identical per-image outputs).
+
+    jax.vmap over the per-image version lowers the `x[idx]` gathers to
+    generic batched gathers that run ~5x slower on TPU (same pathology the
+    SRPN postprocessor hit: ops/nms.py batched-variants note; measured
+    2.47 ms of the 2D stage in box_postproc at P=300). take_along_axis +
+    nms_topk_batched tile cleanly."""
+    from ...ops.nms import nms_topk_batched
+
+    bsz, p, num_classes = class_logits.shape
+    probs = jax.nn.softmax(class_logits, axis=-1)
+    d = box_deltas.reshape(bsz, p, num_classes, 6)
+    left_d = d[..., (0, 1, 2, 3)].reshape(bsz * p, num_classes * 4)
+    right_d = d[..., (4, 1, 5, 3)].reshape(bsz * p, num_classes * 4)
+    w10 = (10.0, 10.0, 5.0, 5.0)
+    left_all = box_coder.decode4(
+        left_d, proposals.left.reshape(bsz * p, 4), weights=w10
+    ).reshape(bsz, p, num_classes * 4)
+    right_all = box_coder.decode4(
+        right_d, proposals.right.reshape(bsz * p, 4), weights=w10
+    ).reshape(bsz, p, num_classes * 4)
+    h, w = image_hw
+    lims = jnp.asarray([w - 1.0, h - 1.0, w - 1.0, h - 1.0])
+    clip = lambda b: jnp.clip(b, jnp.zeros((4,)), lims)
+    k = min(detections_per_img, max_out)
+    outs = []
+    for j in range(1, num_classes):
+        lb = clip(left_all[:, :, j * 4 : (j + 1) * 4])
+        rb = clip(right_all[:, :, j * 4 : (j + 1) * 4])
+        sc = probs[:, :, j]
+        ok = (sc > score_thresh) & proposals.valid
+        idx, kept = nms_topk_batched(lb, sc, ok, nms_thresh, k)
+        take = lambda x: jnp.take_along_axis(x, idx[..., None], axis=1)
+        outs.append(
+            StereoBoxes(
+                left=take(lb), right=take(rb),
+                score=jnp.take_along_axis(sc, idx, axis=1),
+                valid=kept,
+                fields={"labels": jnp.full(idx.shape, j, jnp.int32)},
+            )
+        )
+    left = jnp.concatenate([o.left for o in outs], 1)
+    right = jnp.concatenate([o.right for o in outs], 1)
+    score = jnp.concatenate([o.score for o in outs], 1)
+    valid = jnp.concatenate([o.valid for o in outs], 1)
+    labels = jnp.concatenate([o.fields["labels"] for o in outs], 1)
+    top, idx = jax.lax.top_k(jnp.where(valid, score, -1.0), max_out)
+    take = lambda x: jnp.take_along_axis(x, idx[..., None], axis=1)
+    return StereoBoxes(
+        left=take(left), right=take(right),
+        score=jnp.take_along_axis(score, idx, axis=1),
+        valid=jnp.take_along_axis(valid, idx, axis=1) & (top > 0),
+        fields={"labels": jnp.take_along_axis(labels, idx, axis=1)},
+    )
+
+
 def postprocess(
     class_logits: jnp.ndarray,  # (P, C)
     box_deltas: jnp.ndarray,  # (P, C*6)

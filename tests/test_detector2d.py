@@ -138,3 +138,44 @@ def test_detector_train_losses_finite_and_differentiable(tiny_model_and_vars):
     # at least the RPN head must receive gradient
     g_rpn = jax.tree.leaves(grads["rpn_head"])
     assert sum(float(jnp.abs(g).sum()) for g in g_rpn) > 0
+
+
+def test_box_postprocess_batched_matches_per_image(rng):
+    """postprocess_batched must reproduce vmap(postprocess) per image (it
+    replaces it for speed: the vmapped form's gathers lower to ~5x-slower
+    generic batched gathers — profile_2d measured 2.47 ms at P=300)."""
+    import jax
+    import jax.numpy as jnp
+
+    from disprcnn_tpu.models.roi_heads import box_head as bh
+    from disprcnn_tpu.structures.stereo import StereoBoxes
+
+    b, p, c = 3, 40, 2
+    logits = jnp.asarray(rng.normal(size=(b, p, c)).astype(np.float32)) * 2
+    deltas = jnp.asarray(rng.normal(size=(b, p, c * 6)).astype(np.float32)) * 0.2
+    x1 = rng.uniform(0, 200, (b, p, 2)).astype(np.float32)
+    wh = rng.uniform(8, 60, (b, p, 2)).astype(np.float32)
+    left = jnp.asarray(np.concatenate([x1, x1 + wh], -1))
+    right = jnp.asarray(np.concatenate([x1 - 5, x1 + wh - 3], -1))
+    props = StereoBoxes(
+        left=left, right=right,
+        score=jnp.asarray(rng.uniform(0, 1, (b, p)).astype(np.float32)),
+        valid=jnp.asarray(rng.uniform(0, 1, (b, p)) > 0.1),
+    )
+    hw = (240, 320)
+    want = jax.vmap(
+        lambda cl, bd, pr: bh.postprocess(cl, bd, pr, hw, 0.05, 0.5, 100, 8)
+    )(logits, deltas, props)
+    got = bh.postprocess_batched(logits, deltas, props, hw, 0.05, 0.5, 100, 8)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    m = np.asarray(got.valid)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(got.left) * m, np.asarray(want.left) * m, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got.right) * m, np.asarray(want.right) * m, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got.score) * m[..., 0], np.asarray(want.score) * m[..., 0],
+        rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(got.fields["labels"]) * m[..., 0].astype(np.int32),
+        np.asarray(want.fields["labels"]) * m[..., 0].astype(np.int32))

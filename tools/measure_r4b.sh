@@ -32,4 +32,6 @@ run bench8 python bench.py --pairs 8 --train ""
 run stage3_ref python tools/profile_stage3.py --pre-nms 768 --post-nms 100
 run stage3_head python tools/profile_stage3.py
 run tower_sites python tools/bench_tower_sites.py
+run rcnn_trace_ref python tools/profile_rcnn_trace.py --rois 1600
+run trace_2d python tools/trace_hotspots.py --skip rpn3d
 echo ALL_DONE > .cache/r4b/DONE

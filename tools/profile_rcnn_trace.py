@@ -14,6 +14,12 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rois", type=int, default=256,
+                    help="total rois (reference budget: 1600 = 16 x 100)")
+    args = ap.parse_args()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -26,7 +32,7 @@ def main():
 
     # name matches profile_stage3's so the persistent compile cache is shared
     rc = rcnn3d.RCNNNet(dtype=jnp.bfloat16, name="rcnn")
-    b, n, c = 256, 512, 133
+    b, n, c = args.rois, 512, 133
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.bfloat16)
     shapes = jax.eval_shape(lambda k, a: rc.init(k, a), jax.random.PRNGKey(0), x)
