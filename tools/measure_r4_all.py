@@ -27,6 +27,7 @@ STEPS = [
     ("stage3_ref", "tools/profile_stage3.py",
      ["--pre-nms", "768", "--post-nms", "100"]),
     ("stage3_head", "tools/profile_stage3.py", []),
+    ("profile_2d", "tools/profile_2d.py", []),
     ("tower_sites", "tools/bench_tower_sites.py", []),
     ("rcnn_trace_ref", "tools/profile_rcnn_trace.py", ["--rois", "1600"]),
     ("trace_2d", "tools/trace_hotspots.py", ["--skip", "rpn3d"]),

@@ -99,10 +99,14 @@ def main():
     head = stereo_rpn.SRPNHead(in_channels=model2d.out_channels,
                                num_anchors=gen.num_anchors_per_location,
                                dtype=jnp.bfloat16)
-    fhead = jax.jit(lambda v, l, r: stereo_rpn.flatten_levels(head.apply(v, l, r)))
+    # real pipeline path: shared conv on the concat-batch (2B) backbone
+    # outputs (disprcnn.py passes both_feats; the split-view form picks a
+    # degenerate B=1 conv layout, ~2x slower — SRPNHead docstring)
+    fhead = jax.jit(lambda v, f: stereo_rpn.flatten_levels(
+        head.apply(v, None, None, both_feats=f)))
     log("timing srpn head...")
-    t["srpn_head"] = device_timeit(fhead, sub("rpn_head"), lf, rf)
-    obj_logits, deltas = fhead(sub("rpn_head"), lf, rf)
+    t["srpn_head"] = device_timeit(fhead, sub("rpn_head"), feats)
+    obj_logits, deltas = fhead(sub("rpn_head"), feats)
 
     fpost = jax.jit(lambda o, d: stereo_rpn.postprocess_batched(
         anchors, o, d, (h, w), 6000, 300,
@@ -134,11 +138,10 @@ def main():
     class_logits, box_deltas = fbox_j(
         sub("box_extractor"), sub("box_predictor"), lf, rf, rois_flat)
 
-    fbpost = jax.jit(lambda cl, bd, pr: jax.vmap(
-        lambda c, d, r: bh.postprocess(
-            c, d, r, (h, w), model2d.score_thresh, model2d.box_nms_thresh,
-            model2d.detections_per_img, model2d.max_det))(
-        cl.reshape(1, p, -1), bd.reshape(1, p, -1), pr))
+    fbpost = jax.jit(lambda cl, bd, pr: bh.postprocess_batched(
+        cl.reshape(1, p, -1), bd.reshape(1, p, -1), pr, (h, w),
+        model2d.score_thresh, model2d.box_nms_thresh,
+        model2d.detections_per_img, model2d.max_det))
     log("timing box postprocess...")
     t["box_postproc"] = device_timeit(fbpost, class_logits, box_deltas, proposals)
     dets = fbpost(class_logits, box_deltas, proposals)
