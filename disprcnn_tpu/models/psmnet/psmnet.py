@@ -15,6 +15,7 @@ implementation is TPU-native:
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
@@ -22,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.pallas import kernel_disabled
+from ...ops.pallas import kernel_disabled, kernel_forced
 
 # tests set this True to run the fused Pallas kernels interpreted on CPU
 _FORCE_INTERPRET = False
@@ -519,7 +520,20 @@ class PackedConvBN3d(nn.Module):
         if cost_volume is not None:
             lf, rf, mind4 = cost_volume
             maxd4 = mind4 + self.dg * self.group
-            if not kernel_disabled("cvdec") and not self.is_initializing():
+            # Geometry gate: the decomposition trades FLOPs for op COUNT —
+            # its per-slice column corrections unroll into O(D*W) small
+            # gathers/adds. At production trunk geometry (W=56, D=24,
+            # W*D=1344) the 24x FLOP cut dominates; at tiny shapes the op
+            # storm loses on every backend and blew the multichip dryrun's
+            # CPU budget 3x (W=16, D=8: step exec 298s vs 113s). Floor is
+            # env-tunable; DISPRCNN_PALLAS_ENABLE=cvdec bypasses it so the
+            # parity tests/A-B ledger exercise the real path at any shape.
+            cvdec_fits = (
+                lf.shape[2] * self.dg * self.group
+                >= int(os.environ.get("DISPRCNN_CVDEC_MIN_WD", "512"))
+            ) or kernel_forced("cvdec")
+            if (not kernel_disabled("cvdec") and cvdec_fits
+                    and not self.is_initializing()):
                 # decomposed 2D-conv identity (ops/cv_conv.py): ~24x fewer
                 # true FLOPs than any dense-3D-conv form, pure XLA and
                 # differentiable — serves train AND eval, every backend

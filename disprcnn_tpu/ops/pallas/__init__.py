@@ -12,7 +12,10 @@ kernel that only ever ran in interpret mode meets real Mosaic. Tags:
   cvdec    decomposed cost-volume conv (2D-conv identity, ops/cv_conv.py —
            XLA, not Pallas, but A/B'd through the same switch; when ON it
            replaces BOTH the 'cv' Pallas kernel and the train-path
-           volume-build+conv)
+           volume-build+conv). Also geometry-gated: engages only when
+           W*D >= DISPRCNN_CVDEC_MIN_WD (default 512) — the op-count storm
+           of its column corrections loses at tiny shapes on every backend;
+           DISPRCNN_PALLAS_ENABLE=cvdec bypasses the floor.
   cl1      Pallas dg=1 classif-head conv (single-output-channel trunk conv)
   wconv    W-packed tower conv
   sa       whole-scale ball+gather+MLP+max
@@ -48,3 +51,10 @@ def kernel_disabled(tag: str) -> bool:
     if tag in _env_set("DISPRCNN_PALLAS_DISABLE"):
         return True
     return tag in _DEFAULT_OFF and tag not in _env_set("DISPRCNN_PALLAS_ENABLE")
+
+
+def kernel_forced(tag: str) -> bool:
+    """True when the family is force-enabled via DISPRCNN_PALLAS_ENABLE —
+    callers with geometry gates (cvdec's W*D floor) bypass them, so A/B
+    ledgers and parity tests exercise the real path at any shape."""
+    return tag in _env_set("DISPRCNN_PALLAS_ENABLE")

@@ -61,8 +61,13 @@ def _ab_cvdec(train: bool, rng):
 
     def run(disable):
         old = os.environ.get("DISPRCNN_PALLAS_DISABLE")
+        old_en = os.environ.get("DISPRCNN_PALLAS_ENABLE")
         try:
             os.environ["DISPRCNN_PALLAS_DISABLE"] = disable
+            # bypass the W*D geometry floor (psmnet.PackedConvBN3d) so the
+            # "on" arm really runs the decomposition at this tiny shape
+            os.environ["DISPRCNN_PALLAS_ENABLE"] = (
+                "" if disable == "cvdec" else "cvdec")
             if train:
                 def loss_fn(params):
                     out, _ = psm.apply(
@@ -78,6 +83,10 @@ def _ab_cvdec(train: bool, rng):
                 os.environ.pop("DISPRCNN_PALLAS_DISABLE", None)
             else:
                 os.environ["DISPRCNN_PALLAS_DISABLE"] = old
+            if old_en is None:
+                os.environ.pop("DISPRCNN_PALLAS_ENABLE", None)
+            else:
+                os.environ["DISPRCNN_PALLAS_ENABLE"] = old_en
 
     on = run("")
     off = run("cvdec")
