@@ -532,7 +532,22 @@ class PackedConvBN3d(nn.Module):
                 lf.shape[2] * self.dg * self.group
                 >= int(os.environ.get("DISPRCNN_CVDEC_MIN_WD", "512"))
             ) or kernel_forced("cvdec")
-            if (not kernel_disabled("cvdec") and cvdec_fits
+            # Branch priority (measured, r4 ab_cvdec on-chip A/B): the fused
+            # Pallas cv kernel beats the decomposition by 1.1 ms/fwd at
+            # production trunk geometry (16x56x56, D=24) — the 24x true-FLOP
+            # cut doesn't pay on the MXU where the dense form was already
+            # bandwidth-bound and volume-free in VMEM. So eval TPU takes the
+            # Pallas kernel; cvdec serves train + CPU (differentiable, every
+            # backend) and A/B runs that force it.
+            prefer_cv = (
+                not train
+                and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
+                and not kernel_disabled("cv")
+                and not kernel_forced("cvdec")
+                and not self.is_initializing()
+            )
+            if (not prefer_cv
+                    and not kernel_disabled("cvdec") and cvdec_fits
                     and not self.is_initializing()):
                 # decomposed 2D-conv identity (ops/cv_conv.py): ~24x fewer
                 # true FLOPs than any dense-3D-conv form, pure XLA and

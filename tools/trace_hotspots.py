@@ -88,6 +88,32 @@ def main():
         capture(ffe, vfe, crops, trace_dir="/tmp/tr_tower")
         report("/tmp/tr_tower", top=ap.parse_args().top)
 
+    if "trunk" not in skip:
+        # Full PSMNet at production geometry (16x224^2, D=[-48,48)). The
+        # segment profile says hg = 12.7 ms while its conv sites sum to ~5 —
+        # this trace attributes the remaining glue (layout moves, residual
+        # adds, repacks between packed-G layouts) per fusion.
+        import pickle
+
+        from disprcnn_tpu.models.psmnet.psmnet import PSMNet
+
+        psm = PSMNet(maxdisp=48, mindisp=-48, dtype=jnp.bfloat16)
+        d = 16
+        cache = "/root/repo/.cache/profile_vpsm.pkl"
+        with open(cache, "rb") as f:  # written by tools/profile_psmnet.py
+            vpsm = pickle.load(f)
+        vpsm = jax.device_put(jax.tree.map(jnp.asarray, vpsm), dev)
+        crops = jax.device_put(
+            jnp.asarray(
+                np.random.default_rng(0).uniform(-1, 1, (d, 224, 224, 3)),
+                jnp.float32),
+            dev,
+        )
+        fps = jax.jit(lambda v, a, b: psm.apply(v, a, b, train=False))
+        log("=== trace: full PSMNet (16x224^2) ===")
+        capture(fps, vpsm, crops, crops, trace_dir="/tmp/tr_trunk")
+        report("/tmp/tr_trunk", top=ap.parse_args().top)
+
     if "rpn3d" not in skip:
         from disprcnn_tpu.models.pointrcnn.rpn3d import RPN3D
 
