@@ -487,11 +487,13 @@ def main(pairs: int = 1, budgets: str = "headline,reference",
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pairs", type=int, default=4,
+    ap.add_argument("--pairs", type=int, default=8,
                     help="stereo pairs per jitted step (throughput batching; "
                          "eval is embarrassingly batchable, and per-chip "
-                         "throughput is the metric -- 4 amortizes the "
-                         "fixed-shape overheads, +20%% over single-pair)")
+                         "throughput is the metric). 8 became the best point "
+                         "once per-pair HLO flops were flat in batch (the B^2 "
+                         "ROIAlign term fixed in r4): 16.60 vs 16.01 pairs/s "
+                         "at 4, same-session A/B 2026-08-19.")
     ap.add_argument("--budgets", default="headline,reference",
                     help="comma list of 3D proposal budgets to time "
                          "(headline=16 proposals/ROI, reference=100)")

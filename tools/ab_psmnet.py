@@ -19,24 +19,32 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+# Each config: (DISPRCNN_PALLAS_DISABLE, DISPRCNN_PALLAS_ENABLE). The
+# force-enable configs set ENABLE="s2,wconv,softargmin" so the disable list
+# is the only engagement variable; `shipping` measures the true library
+# default (ENABLE empty, _DEFAULT_OFF families off).
+_FORCE = "s2,wconv,softargmin"
 CONFIGS = {
-    "all_on": "",
-    "no_conv3d": "conv3d",
-    "no_s2": "s2",
-    "no_deconv": "deconv",
-    "no_cv": "cv",
-    "no_wconv": "wconv",
-    "no_softargmin": "softargmin",
-    "no_cl1": "cl1",
-    "trunk_off": "conv3d,s2,deconv,cv",
-    "all_off": "conv3d,s2,deconv,cv,wconv,softargmin,cl1",
-    "best": "s2,wconv,softargmin",
-    "best_plus_deconv_off": "s2,wconv,softargmin,deconv",
-    "best_no_cl1": "s2,wconv,softargmin,cl1",
-    # round 4: default now = site-gated kernels + decomposed cv conv
-    "default": "",
-    "no_cvdec": "cvdec",            # falls back to the Pallas cv kernel
-    "no_cvdec_no_cv": "cvdec,cv",   # XLA split volume build + conv
+    "all_on": ("", _FORCE),
+    "no_conv3d": ("conv3d", _FORCE),
+    "no_s2": ("s2", _FORCE),
+    "no_deconv": ("deconv", _FORCE),
+    "no_cv": ("cv", _FORCE),
+    "no_wconv": ("wconv", _FORCE),
+    "no_softargmin": ("softargmin", _FORCE),
+    "no_cl1": ("cl1", _FORCE),
+    "trunk_off": ("conv3d,s2,deconv,cv", _FORCE),
+    "all_off": ("conv3d,s2,deconv,cv,wconv,softargmin,cl1", _FORCE),
+    "best": ("s2,wconv,softargmin", _FORCE),
+    "best_plus_deconv_off": ("s2,wconv,softargmin,deconv", _FORCE),
+    "best_no_cl1": ("s2,wconv,softargmin,cl1", _FORCE),
+    # round 4: default now = site-gated kernels, Pallas cv first (eval TPU)
+    "default": ("", _FORCE),
+    "no_cvdec": ("cvdec", _FORCE),           # the Pallas cv kernel path
+    "no_cvdec_no_cv": ("cvdec,cv", _FORCE),  # XLA split volume build + conv
+    # the true library default: _DEFAULT_OFF families actually off
+    "shipping": ("", ""),
+    "shipping_cvdec": ("cv", ""),  # shipping but cvdec instead of Pallas cv
 }
 
 
@@ -91,23 +99,35 @@ def main():
                     jnp.float32), dev)
 
     base = None
-    # force-enable the measured default-off families so the disable list is
-    # the ONLY engagement variable (pure A/B; see ops/pallas/_DEFAULT_OFF)
-    os.environ["DISPRCNN_PALLAS_ENABLE"] = "s2,wconv,softargmin"
-    for name in args.configs.split(","):
-        disable = CONFIGS[name]
-        os.environ["DISPRCNN_PALLAS_DISABLE"] = disable
-        fpsm = jax.jit(lambda v, a, b: psm.apply(v, a, b, train=False))
-        print(f"--- {name:14s} (disable='{disable}') compiling...", flush=True)
-        try:
-            ms = device_timeit(fpsm, vpsm, crops, crops)
-        except Exception as e:  # noqa: BLE001
-            print(f"    FAILED: {e!r:.200}", flush=True)
-            continue
-        if base is None:
-            base = ms
-        print(f"    {ms:8.2f} ms  ({ms - base:+6.2f} vs all_on)", flush=True)
-    os.environ["DISPRCNN_PALLAS_DISABLE"] = ""
+    # save/restore BOTH env vars: leaking ENABLE="s2,wconv,softargmin" into
+    # a chained measurement session silently ran every later step with the
+    # default-OFF families ON (contaminated the whole 2026-08-19 r4b queue:
+    # +~10 ms/fwd on PSMNet, misread as a slower chip)
+    saved = {k: os.environ.get(k)
+             for k in ("DISPRCNN_PALLAS_DISABLE", "DISPRCNN_PALLAS_ENABLE")}
+    try:
+        for name in args.configs.split(","):
+            disable, enable = CONFIGS[name]
+            os.environ["DISPRCNN_PALLAS_DISABLE"] = disable
+            os.environ["DISPRCNN_PALLAS_ENABLE"] = enable
+            fpsm = jax.jit(lambda v, a, b: psm.apply(v, a, b, train=False))
+            print(f"--- {name:14s} (disable='{disable}' enable='{enable}') "
+                  "compiling...", flush=True)
+            try:
+                ms = device_timeit(fpsm, vpsm, crops, crops)
+            except Exception as e:  # noqa: BLE001
+                print(f"    FAILED: {e!r:.200}", flush=True)
+                continue
+            if base is None:
+                base = ms
+            print(f"    {ms:8.2f} ms  ({ms - base:+6.2f} vs first)",
+                  flush=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
     import os as _os
 

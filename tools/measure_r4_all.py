@@ -29,24 +29,18 @@ class _StepExit(BaseException):
 
 STEPS = [
     # (name, path, argv, env-overrides)
-    ("ab_cvdec", "tools/ab_psmnet.py",
-     ["--configs", "default,no_cvdec,no_cvdec_no_cv"], {}),
-    # r3_gates: per-site spatial gate OFF (Pallas at every trunk site) =
-    # round-3 behavior, to bisect the 37.97 vs 28.76 ms full-fwd regression
-    ("ab_r3_gates", "tools/ab_psmnet.py",
-     ["--configs", "default,no_cvdec"],
-     {"DISPRCNN_CONV3D_MIN_HW": "0"}),
+    # r4c CLEAN queue: the r4b queue ran with ab_psmnet's leaked
+    # PALLAS_ENABLE=s2,wconv,softargmin after step 1 — every PSMNet number
+    # was all_on, not shipping (the "39.31 ms r3 config" = r3's all_on 39.1,
+    # not a slower chip). Re-measure the contaminated set cleanly.
+    ("ab_shipping", "tools/ab_psmnet.py",
+     ["--configs", "shipping,shipping_cvdec,all_on"], {}),
     ("psm_segments", "tools/profile_psmnet.py", ["--segments"], {}),
-    ("bench4", "bench.py", ["--pairs", "4", "--train", ""], {}),
     ("bench8", "bench.py", ["--pairs", "8", "--train", ""], {}),
-    ("stage3_ref", "tools/profile_stage3.py",
-     ["--pre-nms", "768", "--post-nms", "100"], {}),
-    ("stage3_head", "tools/profile_stage3.py", [], {}),
-    ("ab_stage3_ref", "tools/ab_stage3.py", ["--post-nms", "100"], {}),
-    ("profile_2d", "tools/profile_2d.py", [], {}),
-    ("tower_sites", "tools/bench_tower_sites.py", [], {}),
-    ("rcnn_trace_ref", "tools/profile_rcnn_trace.py", ["--rois", "1600"], {}),
-    ("trace_2d", "tools/trace_hotspots.py", ["--skip", "rpn3d"], {}),
+    ("bench16", "bench.py", ["--pairs", "16", "--train", ""], {}),
+    ("trace_trunk", "tools/trace_hotspots.py",
+     ["--skip", "2d,tower,rpn3d"], {}),
+    ("bench_full", "bench.py", [], {}),  # driver-equivalent incl train
 ]
 
 
@@ -59,6 +53,12 @@ def main():
     only = {s for s in args.only.split(",") if s}
 
     os._exit = lambda code=0: (_ for _ in ()).throw(_StepExit(code))
+    # Baseline of every DISPRCNN_* env var at session start: restored before
+    # EACH step so one tool's leaked mutation (ab_psmnet's unrestored
+    # PALLAS_ENABLE contaminated the whole 2026-08-19 r4b queue) can't bleed
+    # into the next step's measurement.
+    base_env = {k: v for k, v in os.environ.items()
+                if k.startswith("DISPRCNN_")}
     for name, path, argv, env in STEPS:
         if name in skip or (only and name not in only):
             continue
@@ -66,6 +66,9 @@ def main():
               flush=True)
         t0 = time.time()
         sys.argv = [path] + list(argv)
+        for k in [k for k in os.environ if k.startswith("DISPRCNN_")]:
+            os.environ.pop(k, None)
+        os.environ.update(base_env)
         saved = {k: os.environ.get(k) for k in env}
         os.environ.update(env)
         try:
