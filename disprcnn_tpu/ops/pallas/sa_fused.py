@@ -36,6 +36,25 @@ def _use_transposed() -> bool:
     return os.environ.get("DISPRCNN_SA_T", "1") != "0"
 
 
+def _ranks_cumsum() -> bool:
+    """Prefix ranks via an in-kernel cumsum over the N (sublane) axis
+    instead of the (N, N) triangular bf16 matmul — the tri-dot is ~14% of
+    the SA0 mega-kernel's MXU flops (512^2 x mt per tile) and the counts
+    are small exact integers either way. Default stays the tri matmul
+    until the on-chip A/B (tools/ab_stage3.py) flips it."""
+    return os.environ.get("DISPRCNN_SA_RANKS", "tri") == "cumsum"
+
+
+def _fold_v_transpose() -> bool:
+    """Take v as (B, N, C0) blocks and contract over N inside the kernel
+    (lax.dot_general, contracting dim 0 of both operands) instead of
+    pre-transposing to (B, C0, N) in XLA — at the RCNN SA0 reference
+    geometry (1600 ROIs) that transpose is a 210 MB HBM round-trip
+    (~1.3 ms of the profile's copy ops). Default stays the XLA transpose
+    until the on-chip A/B flips it."""
+    return os.environ.get("DISPRCNN_SA_VT", "xla") == "fold"
+
+
 def _kernel(s, r2, mt, nlayers, *refs):
     xyz, ctr, v, w0x, mul0, add0 = refs[:6]
     wb = refs[6 : 6 + 2 * nlayers]
@@ -108,7 +127,7 @@ def _kernel(s, r2, mt, nlayers, *refs):
     out[...] = jnp.concatenate(pooled, axis=0)[None].astype(out.dtype)
 
 
-def _kernel_t(s, r2, mt, nlayers, *refs):
+def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, *refs):
     """Transposed reformulation of _kernel — bit-identical outputs, ~3x less
     MXU-equivalent work at the RCNN SA0 geometry (B256 N512 M128 S64 C128):
 
@@ -135,13 +154,14 @@ def _kernel_t(s, r2, mt, nlayers, *refs):
     sf = float(s)
 
     xyzc = xyz[0].astype(jnp.float32)  # (N, 3) f32 column access
-    vv = vT[0]  # (C0, N) bf16
+    vv = vT[0]  # (C0, N) bf16 — or (N, C0) when the transpose is folded
     x3 = xyz3T[0]  # (9, N) bf16 hi/mid/lo rows
-    # inclusive lower-tri, bf16 0/1: triT[k, j] = (j <= k)
-    triT = (
-        jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    ).astype(jnp.bfloat16)
+    if not use_cumsum:
+        # inclusive lower-tri, bf16 0/1: triT[k, j] = (j <= k)
+        triT = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        ).astype(jnp.bfloat16)
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     # slot id per merged lane (slot-major): col j -> j // mt
     # (f32: Mosaic lacks bf16 ordered-< under packed layouts)
@@ -158,8 +178,13 @@ def _kernel_t(s, r2, mt, nlayers, *refs):
         mask = d2 < r2  # strict, as the CUDA kernel (f32 compare -> i1:
         # Mosaic's bf16 cmpf support is layout-dependent, keep compares f32)
         maskf = mask.astype(jnp.float32)
-        maskb = maskf.astype(jnp.bfloat16)
-        incl = jnp.dot(triT, maskb, preferred_element_type=jnp.float32)
+        if use_cumsum:
+            # inclusive prefix count over the sublane (N) axis — exact:
+            # counts are small integers, f32 addition order-independent
+            incl = jnp.cumsum(maskf, axis=0)
+        else:
+            maskb = maskf.astype(jnp.bfloat16)
+            incl = jnp.dot(triT, maskb, preferred_element_type=jnp.float32)
         cnt = incl[n - 1 : n, :]  # (1, mt) f32 exact counts
         rank = incl - maskf  # exclusive prefix count
         # -1 outside the ball (never matches a target slot >= 0); empty
@@ -182,7 +207,15 @@ def _kernel_t(s, r2, mt, nlayers, *refs):
 
         # gathers as bf16 MXU dots with f32 accumulation: one-hot rows sum
         # exactly one term -> exact selection, any contraction order
-        gf = jnp.dot(vv, oh, preferred_element_type=jnp.float32)  # (C0, L)
+        if fold_v:
+            # vv is (N, C0): contract over N without the XLA-side HBM
+            # transpose (the MXU streams either operand orientation)
+            gf = jax.lax.dot_general(
+                vv, oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C0, L)
+        else:
+            gf = jnp.dot(vv, oh, preferred_element_type=jnp.float32)  # (C0, L)
         g3 = jnp.dot(x3, oh, preferred_element_type=jnp.float32)  # (9, L)
         gx = (g3[0:3] + g3[3:6]) + g3[6:9]  # exact f32 xyz (3-split)
         cx = jnp.concatenate([cT] * s, axis=1)  # (3, s*mt)
@@ -211,7 +244,8 @@ def _kernel_t(s, r2, mt, nlayers, *refs):
 
 
 def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
-                       radius, s, m_tile, interpret):
+                       radius, s, m_tile, interpret,
+                       ranks_cumsum=False, fold_v=False):
     b, n, _ = xyz.shape
     m = centers.shape[1]
     c0 = v.shape[-1]
@@ -228,10 +262,15 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     xyz3T = jnp.concatenate([hi, mid, lo], axis=1)  # (B, 9, N)
 
+    v_spec = (
+        pl.BlockSpec((1, n, c0), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        if fold_v else
+        pl.BlockSpec((1, c0, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    )
     in_specs = [
         pl.BlockSpec((1, n, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 3, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c0, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        v_spec,
         pl.BlockSpec((1, 9, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c0, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c0, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -240,7 +279,8 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
     args = [
         xyz,
         jnp.swapaxes(centers, 1, 2),
-        jnp.swapaxes(v.astype(jnp.bfloat16), 1, 2),
+        v.astype(jnp.bfloat16) if fold_v
+        else jnp.swapaxes(v.astype(jnp.bfloat16), 1, 2),
         xyz3T,
         jnp.swapaxes(w0x, 0, 1),
         mul0.reshape(c0, 1).astype(jnp.float32),
@@ -256,7 +296,8 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
         args.append(bias.reshape(co, 1).astype(jnp.float32))
 
     outT = pl.pallas_call(
-        partial(_kernel_t, s, float(radius) * float(radius), mt, nlayers),
+        partial(_kernel_t, s, float(radius) * float(radius), mt, nlayers,
+                fold_v, ranks_cumsum),
         grid=(b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, c_last, m), lambda i: (i, 0, 0),
@@ -270,8 +311,6 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
     return jnp.swapaxes(outT, 1, 2)
 
 
-@partial(jax.jit,
-         static_argnames=("radius", "s", "m_tile", "interpret"))
 def sa_ball_mlp_max(
     xyz: jnp.ndarray,  # (B, N, 3) f32 source points
     centers: jnp.ndarray,  # (B, M, 3) f32 query centers
@@ -285,10 +324,29 @@ def sa_ball_mlp_max(
     m_tile: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    if _use_transposed():
+    """Env-dependent knobs (DISPRCNN_SA_T/_SA_RANKS/_SA_VT) are read HERE,
+    outside the jit, and passed as static args — reading them inside the
+    traced body would pin the first-seen config into the trace cache and
+    silently ignore later env flips (the A/B tools flip them per config)."""
+    return _sa_ball_mlp_max_jit(
+        xyz, centers, v, w0x, mul0, add0, tuple(weights), radius, s,
+        m_tile, interpret, _use_transposed(), _ranks_cumsum(),
+        _fold_v_transpose(),
+    )
+
+
+@partial(jax.jit,
+         static_argnames=("radius", "s", "m_tile", "interpret",
+                          "transposed", "ranks_cumsum", "fold_v"))
+def _sa_ball_mlp_max_jit(
+    xyz, centers, v, w0x, mul0, add0, weights,
+    radius: float, s: int, m_tile, interpret: bool,
+    transposed: bool, ranks_cumsum: bool, fold_v: bool,
+) -> jnp.ndarray:
+    if transposed:
         return _sa_ball_mlp_max_t(
             xyz, centers, v, w0x, mul0, add0, tuple(weights),
-            radius, s, m_tile or 128, interpret,
+            radius, s, m_tile or 128, interpret, ranks_cumsum, fold_v,
         )
     b, n, _ = xyz.shape
     m = centers.shape[1]

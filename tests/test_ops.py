@@ -421,6 +421,17 @@ def test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng):
             rtol=4e-2, atol=2e-2)
 
 
+def test_fused_ball_pool_kernel_variants(monkeypatch, rng):
+    """The r4 SA mega-kernel variants (ranks via in-kernel cumsum instead
+    of the tri matmul; v gather contracted over N without the XLA-side
+    transpose) must be bit-identical to the default kernel config — both
+    change only HOW exact integer ranks / exact one-hot selections are
+    computed."""
+    monkeypatch.setenv("DISPRCNN_SA_RANKS", "cumsum")
+    monkeypatch.setenv("DISPRCNN_SA_VT", "fold")
+    test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
+
+
 def test_topk_threshold_matches_lax_topk(rng):
     """topk_threshold must be bit-identical to jax.lax.top_k on
     non-negative scores: same values, same indices, same lowest-index tie

@@ -19,16 +19,21 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-# name -> (DISPRCNN_SA_MIN_C0, DISPRCNN_PALLAS_DISABLE)
+# name -> (DISPRCNN_SA_MIN_C0, DISPRCNN_PALLAS_DISABLE, extra-env)
 CONFIGS = {
-    "default(c0=64)": ("64", ""),
-    "c0=32": ("32", ""),
-    "c0=16": ("16", ""),
-    "c0=1": ("1", ""),
-    "no_sa": ("64", "sa"),
-    "no_fp": ("64", "fp"),
-    "no_pool": ("64", "pool"),
-    "all_off": ("64", "sa,fp,pool"),
+    "default(c0=64)": ("64", "", {}),
+    "c0=32": ("32", "", {}),
+    "c0=16": ("16", "", {}),
+    "c0=1": ("1", "", {}),
+    "no_sa": ("64", "sa", {}),
+    "no_fp": ("64", "fp", {}),
+    "no_pool": ("64", "pool", {}),
+    "all_off": ("64", "sa,fp,pool", {}),
+    # r4 SA mega-kernel variants (bit-identical outputs; see sa_fused.py)
+    "ranks_cumsum": ("64", "", {"DISPRCNN_SA_RANKS": "cumsum"}),
+    "vt_fold": ("64", "", {"DISPRCNN_SA_VT": "fold"}),
+    "cumsum+fold": ("64", "", {"DISPRCNN_SA_RANKS": "cumsum",
+                               "DISPRCNN_SA_VT": "fold"}),
 }
 
 
@@ -97,14 +102,19 @@ def main():
     unknown = [n_ for n_ in names if n_ not in CONFIGS]
     if unknown:
         sys.exit(f"unknown --configs {unknown}; choose from {list(CONFIGS)}")
-    base_c0 = os.environ.get("DISPRCNN_SA_MIN_C0")
-    base_dis = os.environ.get("DISPRCNN_PALLAS_DISABLE")
+    extra_keys = sorted({k for _, _, ex in CONFIGS.values() for k in ex})
+    saved_env = {k: os.environ.get(k)
+                 for k in ["DISPRCNN_SA_MIN_C0", "DISPRCNN_PALLAS_DISABLE",
+                           *extra_keys]}
     rows = []
     try:
         for name in names:
-            c0, dis = CONFIGS[name]
+            c0, dis, extra = CONFIGS[name]
             os.environ["DISPRCNN_SA_MIN_C0"] = c0
             os.environ["DISPRCNN_PALLAS_DISABLE"] = dis
+            for k in extra_keys:
+                os.environ.pop(k, None)
+            os.environ.update(extra)
             frpn = jax.jit(lambda vv, p, _n=name: rpn.apply(
                 vv, p, train=False)["cls"])
             t_rpn = device_timeit(frpn, vr, pts)
@@ -114,8 +124,7 @@ def main():
             print(f"{name:>16}: rpn3d {t_rpn:7.2f} ms   rcnn {t_rc:7.2f} ms",
                   flush=True)
     finally:
-        for k, b in (("DISPRCNN_SA_MIN_C0", base_c0),
-                     ("DISPRCNN_PALLAS_DISABLE", base_dis)):
+        for k, b in saved_env.items():
             if b is None:
                 os.environ.pop(k, None)
             else:

@@ -41,6 +41,13 @@ STEPS = [
     ("trace_trunk", "tools/trace_hotspots.py",
      ["--skip", "2d,tower,rpn3d"], {}),
     ("bench_full", "bench.py", [], {}),  # driver-equivalent incl train
+    # --- r4d follow-ups (run with --only; not part of the r4c queue) ---
+    # rpn3d standalone: r3 ledger said 1.24 ms at default gate, r4b said
+    # 4.42 and the pipeline says 5.0-5.4 — reproduce or retract the 1.24
+    ("ab_s3_head", "tools/ab_stage3.py",
+     ["--configs", "default(c0=64),c0=32", "--post-nms", "16"], {}),
+    ("trace_rpn3d", "tools/trace_hotspots.py",
+     ["--skip", "2d,tower,trunk"], {}),
 ]
 
 
