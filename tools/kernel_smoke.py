@@ -223,14 +223,39 @@ def main(argv=None):
              put(np.zeros(128), jnp.float32))
             for _ in range(2)
         )
+        sa_args = (
+            put(r.normal(size=(256, 512, 3)) * 2, jnp.float32),
+            put(r.normal(size=(256, 128, 3)) * 2, jnp.float32),
+            put(r.normal(size=(256, 512, 128))),
+            put(r.normal(size=(3, 128)) * 0.1, jnp.float32),
+            put(np.ones(128), jnp.float32), put(np.zeros(128), jnp.float32),
+            ws, 1.5, 64,
+        )
         run("sa mega-kernel (256x128x64, N=512)", lambda: float(jnp.sum(
-            sa_ball_mlp_max(
-                put(r.normal(size=(256, 512, 3)) * 2, jnp.float32),
-                put(r.normal(size=(256, 128, 3)) * 2, jnp.float32),
-                put(r.normal(size=(256, 512, 128))),
-                put(r.normal(size=(3, 128)) * 0.1, jnp.float32),
-                put(np.ones(128), jnp.float32), put(np.zeros(128), jnp.float32),
-                ws, 1.5, 64).astype(jnp.float32))))
+            sa_ball_mlp_max(*sa_args).astype(jnp.float32))))
+
+        def fsa_variants():
+            import os as _os
+
+            want = sa_ball_mlp_max(*sa_args)
+            saved = {k: _os.environ.get(k)
+                     for k in ("DISPRCNN_SA_RANKS", "DISPRCNN_SA_VT")}
+            try:
+                _os.environ["DISPRCNN_SA_RANKS"] = "cumsum"
+                _os.environ["DISPRCNN_SA_VT"] = "fold"
+                got = sa_ball_mlp_max(*sa_args)
+            finally:
+                for k, v_ in saved.items():
+                    if v_ is None:
+                        _os.environ.pop(k, None)
+                    else:
+                        _os.environ[k] = v_
+            # bit-identical by construction (exact integer ranks, exact
+            # one-hot selection)
+            check("sa variants(cumsum+fold)", got, want, tol=1e-9)
+            return float(jnp.sum(got.astype(jnp.float32)))
+
+        run("sa variants cumsum+fold vs default", fsa_variants)
 
     if "fp" not in skip:
         from disprcnn_tpu.ops.pallas import fp_fused as _ff

@@ -42,10 +42,21 @@ STEPS = [
      ["--skip", "2d,tower,rpn3d"], {}),
     ("bench_full", "bench.py", [], {}),  # driver-equivalent incl train
     # --- r4d follow-ups (run with --only; not part of the r4c queue) ---
-    # rpn3d standalone: r3 ledger said 1.24 ms at default gate, r4b said
-    # 4.42 and the pipeline says 5.0-5.4 — reproduce or retract the 1.24
+    # 1) real-Mosaic compile + bit-parity of the r4 SA variants
+    ("smoke_sa", "tools/kernel_smoke.py",
+     ["--skip", "conv3d,s2,deconv,cl1,cv,wconv,fp,roipool,softargmin,topk"],
+     {}),
+    # 2) rpn3d standalone: r3 ledger said 1.24 ms at default gate, r4b said
+    #    4.42 and the pipeline says 5.0-5.4 — reproduce or retract the 1.24;
+    #    plus the SA-variant A/B at the headline geometry
     ("ab_s3_head", "tools/ab_stage3.py",
-     ["--configs", "default(c0=64),c0=32", "--post-nms", "16"], {}),
+     ["--configs",
+      "default(c0=64),ranks_cumsum,vt_fold,cumsum+fold",
+      "--post-nms", "16"], {}),
+    # 3) the SA-variant A/B where the win lives: 1600-ROI reference budget
+    ("ab_s3_ref", "tools/ab_stage3.py",
+     ["--configs", "default(c0=64),ranks_cumsum,vt_fold,cumsum+fold",
+      "--post-nms", "100"], {}),
     ("trace_rpn3d", "tools/trace_hotspots.py",
      ["--skip", "2d,tower,trunk"], {}),
 ]
