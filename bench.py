@@ -393,27 +393,37 @@ def _bench_train_stages(stages: str = "2d,psm,pc"):
 
     out = {}
     for stage in [s for s in stages.split(",") if s.strip()]:
-        try:
-            if stage == "2d":
-                r = bench_2d(4, "384,1248")
-            elif stage == "psm":
-                r = bench_3d(1, train_psm=True, train_pc=False)
-            elif stage == "pc":
-                r = bench_3d(1, train_psm=False, train_pc=True)
-            else:
-                continue
-            ref = REF_AGG_IMGS_PER_SEC.get(stage)
-            if ref:
-                r["vs_reference_aggregate"] = round(
-                    r["imgs_per_sec_chip"] / ref, 2)
-            out[stage] = r
-        except Exception as e:  # noqa: BLE001
-            import traceback
+        # one retry: the axon tunnel's remote-compile endpoint drops the odd
+        # response mid-read in long sessions ("response body closed") — a
+        # transient that must not cost the driver artifact a train stage
+        for attempt in (0, 1):
+            try:
+                if stage == "2d":
+                    r = bench_2d(4, "384,1248")
+                elif stage == "psm":
+                    r = bench_3d(1, train_psm=True, train_pc=False)
+                elif stage == "pc":
+                    r = bench_3d(1, train_psm=False, train_pc=True)
+                else:
+                    r = None
+                if r is not None:
+                    ref = REF_AGG_IMGS_PER_SEC.get(stage)
+                    if ref:
+                        r["vs_reference_aggregate"] = round(
+                            r["imgs_per_sec_chip"] / ref, 2)
+                    out[stage] = r
+                break
+            except Exception as e:  # noqa: BLE001
+                import traceback
 
-            traceback.print_exc()
-            print(f"bench: train stage '{stage}' failed: {e!r:.200s}",
-                  file=sys.stderr, flush=True)
-            out[stage] = {"error": f"{type(e).__name__}"}
+                traceback.print_exc()
+                print(f"bench: train stage '{stage}' failed "
+                      f"(attempt {attempt}): {e!r:.200s}",
+                      file=sys.stderr, flush=True)
+                out[stage] = {"error": f"{type(e).__name__}"}
+                if not isinstance(e, TypeError) and attempt == 0:
+                    continue
+                break
     return out
 
 

@@ -563,11 +563,19 @@ class PackedConvBN3d(nn.Module):
                     self.features, self.group, dtype=self.dtype,
                     name="BatchNorm_0",
                 )
-                dt = self.dtype
+                # TRAIN runs the decomposition in f32: its convs carry
+                # preferred_element_type=f32, whose autodiff transpose feeds
+                # the f32 cotangent back into a conv against the bf16 kernel
+                # — lax.conv rejects mixed dtypes (caught by bench_full's
+                # train-psm stage at the real 224^2 geometry; the tiny grads
+                # parity test runs an f32 model and couldn't see it).
+                # Uniform f32 keeps grads exact; even at f32 MXU rates the
+                # 24x FLOP cut vs the dense form leaves it ~6x cheaper.
+                dt = jnp.float32 if train else self.dtype
                 y = cost_volume_conv_decomposed(
                     lf.astype(dt), rf.astype(dt), conv(raw=True).astype(dt),
                     mind4, maxd4, self.group,
-                )
+                ).astype(self.dtype)
                 y = bn(y, train)
                 return nn.relu(y) if relu else y
             if (not train

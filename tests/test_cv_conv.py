@@ -111,3 +111,42 @@ def test_psmnet_cvdec_train_grads_parity(rng):
         # magnitude, not per element (near-zero elements carry it too)
         tol = 2e-4 * max(float(np.abs(b).max()), 1e-6)
         np.testing.assert_allclose(np.asarray(a), b, rtol=2e-3, atol=tol)
+
+
+def test_psmnet_cvdec_train_grads_bf16(rng):
+    """bf16-dtype train grads through the cvdec branch. Regression: the
+    decomposition's f32-accumulation convs made autodiff transpose an f32
+    cotangent into a conv against the bf16 kernel — lax.conv rejects mixed
+    dtypes. Only a bf16 MODEL reaches it (the f32 parity test above is
+    dtype-uniform throughout), which is how it slipped to bench_full's
+    train-psm stage. The branch now runs f32 under train."""
+    import os
+
+    from disprcnn_tpu.models.psmnet.psmnet import PSMNet
+
+    psm = PSMNet(maxdisp=8, mindisp=-8, num_hourglass=1, dtype=jnp.bfloat16)
+    left = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    right = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    v = psm.init({"params": jax.random.PRNGKey(0)}, left, right, train=False)
+    saved = {k: os.environ.get(k)
+             for k in ("DISPRCNN_PALLAS_DISABLE", "DISPRCNN_PALLAS_ENABLE")}
+    try:
+        os.environ["DISPRCNN_PALLAS_DISABLE"] = ""
+        os.environ["DISPRCNN_PALLAS_ENABLE"] = "cvdec"  # bypass W*D floor
+
+        def loss_fn(params):
+            out, _ = psm.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                left, right, train=True, mutable=["batch_stats"])
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in out)
+
+        val, grads = jax.value_and_grad(loss_fn)(v["params"])
+    finally:
+        for k, s in saved.items():
+            if s is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = s
+    assert np.isfinite(float(val))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
