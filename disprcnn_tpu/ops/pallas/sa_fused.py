@@ -127,7 +127,16 @@ def _kernel(s, r2, mt, nlayers, *refs):
     out[...] = jnp.concatenate(pooled, axis=0)[None].astype(out.dtype)
 
 
-def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, *refs):
+def _rows() -> int:
+    """Batch R batch-rows (ROIs) per grid step — same math, R x fewer grid
+    steps, amortizing the per-step scalar/DMA overhead (~1600 steps at the
+    RCNN SA0 reference geometry). Default 1 until the on-chip A/B flips
+    it."""
+    return max(1, int(os.environ.get("DISPRCNN_SA_ROWS", "1")))
+
+
+def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, rows, interpret,
+              *refs):
     """Transposed reformulation of _kernel — bit-identical outputs, ~3x less
     MXU-equivalent work at the RCNN SA0 geometry (B256 N512 M128 S64 C128):
 
@@ -148,14 +157,23 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, *refs):
     xyz, ctrT, vT, xyz3T, w0xT, mul0, add0 = refs[:7]
     wb = refs[7 : 7 + 2 * nlayers]
     out = refs[7 + 2 * nlayers]
+
+    def dotf(a, b, dims=None):
+        """bf16 x bf16 -> f32 dot. In interpret mode XLA:CPU's DotThunk
+        lacks BF16xBF16=F32 for some (sliced-operand, odd-shape) combos —
+        up-cast there: bf16->f32 is exact and products of bf16 values are
+        exact in f32, so the result is bit-identical."""
+        if interpret:
+            a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+        if dims is None:
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32)
     n = xyz.shape[1]
     m = ctrT.shape[2]
     c0 = vT.shape[1]
     sf = float(s)
 
-    xyzc = xyz[0].astype(jnp.float32)  # (N, 3) f32 column access
-    vv = vT[0]  # (C0, N) bf16 — or (N, C0) when the transpose is folded
-    x3 = xyz3T[0]  # (9, N) bf16 hi/mid/lo rows
     if not use_cumsum:
         # inclusive lower-tri, bf16 0/1: triT[k, j] = (j <= k)
         triT = (
@@ -169,8 +187,12 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, *refs):
         jax.lax.broadcasted_iota(jnp.int32, (1, s * mt), 1) // mt
     ).astype(jnp.float32)  # values < s <= 256
 
-    for t0 in range(0, m, mt):
-        cT = ctrT[0][:, t0 : t0 + mt].astype(jnp.float32)  # (3, mt)
+    for rr, t0 in [(r_, t_) for r_ in range(rows)
+                   for t_ in range(0, m, mt)]:
+        xyzc = xyz[rr].astype(jnp.float32)  # (N, 3) f32 column access
+        vv = vT[rr]  # (C0, N) bf16 — or (N, C0) when folded
+        x3 = xyz3T[rr]  # (9, N) bf16 hi/mid/lo rows
+        cT = ctrT[rr][:, t0 : t0 + mt].astype(jnp.float32)  # (3, mt)
         d2 = jnp.zeros((n, mt), jnp.float32)
         for k in range(3):
             diff = xyzc[:, k : k + 1] - cT[k : k + 1, :]
@@ -180,11 +202,21 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, *refs):
         maskf = mask.astype(jnp.float32)
         if use_cumsum:
             # inclusive prefix count over the sublane (N) axis — exact:
-            # counts are small integers, f32 addition order-independent
-            incl = jnp.cumsum(maskf, axis=0)
+            # counts are small integers, f32 addition order-independent.
+            # jnp.cumsum has no Pallas-TPU lowering (NotImplementedError on
+            # Mosaic, found by tools/kernel_smoke.py); spell it as the
+            # Hillis-Steele log-shift scan: log2(N) shifted VPU adds.
+            incl = maskf
+            sh = 1
+            while sh < n:
+                incl = incl + jnp.concatenate(
+                    [jnp.zeros((sh, mt), jnp.float32), incl[: n - sh]],
+                    axis=0,
+                )
+                sh *= 2
         else:
             maskb = maskf.astype(jnp.bfloat16)
-            incl = jnp.dot(triT, maskb, preferred_element_type=jnp.float32)
+            incl = dotf(triT, maskb)
         cnt = incl[n - 1 : n, :]  # (1, mt) f32 exact counts
         rank = incl - maskf  # exclusive prefix count
         # -1 outside the ball (never matches a target slot >= 0); empty
@@ -210,13 +242,10 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, *refs):
         if fold_v:
             # vv is (N, C0): contract over N without the XLA-side HBM
             # transpose (the MXU streams either operand orientation)
-            gf = jax.lax.dot_general(
-                vv, oh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (C0, L)
+            gf = dotf(vv, oh, (((0,), (0,)), ((), ())))  # (C0, L)
         else:
-            gf = jnp.dot(vv, oh, preferred_element_type=jnp.float32)  # (C0, L)
-        g3 = jnp.dot(x3, oh, preferred_element_type=jnp.float32)  # (9, L)
+            gf = dotf(vv, oh)  # (C0, L)
+        g3 = dotf(x3, oh)  # (9, L)
         gx = (g3[0:3] + g3[3:6]) + g3[6:9]  # exact f32 xyz (3-split)
         cx = jnp.concatenate([cT] * s, axis=1)  # (3, s*mt)
         ctd = (gx - cx).astype(jnp.bfloat16)  # f32 centering, then bf16
@@ -232,7 +261,7 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, *refs):
         ).astype(jnp.bfloat16)
         for i in range(nlayers):
             wgt, b = wb[2 * i], wb[2 * i + 1]
-            y = jnp.dot(wgt[...], x, preferred_element_type=jnp.float32)
+            y = dotf(wgt[...], x)
             x = jnp.maximum(y + b[...], 0.0).astype(jnp.bfloat16)
         # max over slots: log tree of lane-aligned halves (slot-major)
         width = s
@@ -240,12 +269,12 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, *refs):
             half = width // 2
             x = jnp.maximum(x[:, : half * mt], x[:, half * mt : width * mt])
             width = half
-        out[0, :, t0 : t0 + mt] = x.astype(out.dtype)
+        out[rr, :, t0 : t0 + mt] = x.astype(out.dtype)
 
 
 def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
                        radius, s, m_tile, interpret,
-                       ranks_cumsum=False, fold_v=False):
+                       ranks_cumsum=False, fold_v=False, rows=1):
     b, n, _ = xyz.shape
     m = centers.shape[1]
     c0 = v.shape[-1]
@@ -254,6 +283,9 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
     mt = min(m_tile, m)
     while m % mt:
         mt -= 1
+    rows = min(rows, b)
+    while b % rows:
+        rows -= 1
 
     xt = jnp.swapaxes(xyz, 1, 2).astype(jnp.float32)  # (B, 3, N)
     hi = xt.astype(jnp.bfloat16)
@@ -263,15 +295,20 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
     xyz3T = jnp.concatenate([hi, mid, lo], axis=1)  # (B, 9, N)
 
     v_spec = (
-        pl.BlockSpec((1, n, c0), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((rows, n, c0), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
         if fold_v else
-        pl.BlockSpec((1, c0, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((rows, c0, n), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
     )
     in_specs = [
-        pl.BlockSpec((1, n, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, n, 3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 3, m), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
         v_spec,
-        pl.BlockSpec((1, 9, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 9, n), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((c0, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c0, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c0, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -297,10 +334,10 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
 
     outT = pl.pallas_call(
         partial(_kernel_t, s, float(radius) * float(radius), mt, nlayers,
-                fold_v, ranks_cumsum),
-        grid=(b,),
+                fold_v, ranks_cumsum, rows, interpret),
+        grid=(b // rows,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, c_last, m), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((rows, c_last, m), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c_last, m), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
@@ -331,22 +368,23 @@ def sa_ball_mlp_max(
     return _sa_ball_mlp_max_jit(
         xyz, centers, v, w0x, mul0, add0, tuple(weights), radius, s,
         m_tile, interpret, _use_transposed(), _ranks_cumsum(),
-        _fold_v_transpose(),
+        _fold_v_transpose(), _rows(),
     )
 
 
 @partial(jax.jit,
          static_argnames=("radius", "s", "m_tile", "interpret",
-                          "transposed", "ranks_cumsum", "fold_v"))
+                          "transposed", "ranks_cumsum", "fold_v", "rows"))
 def _sa_ball_mlp_max_jit(
     xyz, centers, v, w0x, mul0, add0, weights,
     radius: float, s: int, m_tile, interpret: bool,
-    transposed: bool, ranks_cumsum: bool, fold_v: bool,
+    transposed: bool, ranks_cumsum: bool, fold_v: bool, rows: int = 1,
 ) -> jnp.ndarray:
     if transposed:
         return _sa_ball_mlp_max_t(
             xyz, centers, v, w0x, mul0, add0, tuple(weights),
             radius, s, m_tile or 128, interpret, ranks_cumsum, fold_v,
+            rows,
         )
     b, n, _ = xyz.shape
     m = centers.shape[1]

@@ -432,6 +432,13 @@ def test_fused_ball_pool_kernel_variants(monkeypatch, rng):
     test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
 
 
+def test_fused_ball_pool_kernel_rows_batched(monkeypatch, rng):
+    """DISPRCNN_SA_ROWS=3 (multiple ROIs per grid step) is a pure
+    grid-shape change — outputs must be bit-identical to rows=1."""
+    monkeypatch.setenv("DISPRCNN_SA_ROWS", "3")
+    test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
+
+
 def test_topk_threshold_matches_lax_topk(rng):
     """topk_threshold must be bit-identical to jax.lax.top_k on
     non-negative scores: same values, same indices, same lowest-index tie

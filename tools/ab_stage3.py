@@ -34,6 +34,14 @@ CONFIGS = {
     "vt_fold": ("64", "", {"DISPRCNN_SA_VT": "fold"}),
     "cumsum+fold": ("64", "", {"DISPRCNN_SA_RANKS": "cumsum",
                                "DISPRCNN_SA_VT": "fold"}),
+    # r4e: R ROIs per grid step (pure grid reshape, bit-identical)
+    "rows4": ("64", "", {"DISPRCNN_SA_ROWS": "4"}),
+    "rows8": ("64", "", {"DISPRCNN_SA_ROWS": "8"}),
+    "rows4+fold": ("64", "", {"DISPRCNN_SA_ROWS": "4",
+                              "DISPRCNN_SA_VT": "fold"}),
+    "rows4+cumsum+fold": ("64", "", {"DISPRCNN_SA_ROWS": "4",
+                                     "DISPRCNN_SA_RANKS": "cumsum",
+                                     "DISPRCNN_SA_VT": "fold"}),
 }
 
 
@@ -115,11 +123,19 @@ def main():
             for k in extra_keys:
                 os.environ.pop(k, None)
             os.environ.update(extra)
-            frpn = jax.jit(lambda vv, p, _n=name: rpn.apply(
-                vv, p, train=False)["cls"])
-            t_rpn = device_timeit(frpn, vr, pts)
-            frc = jax.jit(lambda vv, p, _n=name: rc.apply(vv, p, train=False))
-            t_rc = device_timeit(frc, vc, flat)
+            try:
+                frpn = jax.jit(lambda vv, p, _n=name: rpn.apply(
+                    vv, p, train=False)["cls"])
+                t_rpn = device_timeit(frpn, vr, pts)
+                frc = jax.jit(
+                    lambda vv, p, _n=name: rc.apply(vv, p, train=False))
+                t_rc = device_timeit(frc, vc, flat)
+            except Exception:  # one broken variant must not eat the queue
+                import traceback
+
+                traceback.print_exc()
+                print(f"{name:>16}: FAILED — continuing", flush=True)
+                continue
             rows.append((name, t_rpn, t_rc))
             print(f"{name:>16}: rpn3d {t_rpn:7.2f} ms   rcnn {t_rc:7.2f} ms",
                   flush=True)
@@ -130,6 +146,8 @@ def main():
             else:
                 os.environ[k] = b
 
+    if not rows:
+        sys.exit("no config succeeded")
     best_rpn = min(rows, key=lambda x: x[1])
     best_rc = min(rows, key=lambda x: x[2])
     print(f"\nbest rpn3d: {best_rpn[0]} ({best_rpn[1]:.2f} ms); "

@@ -239,20 +239,25 @@ def main(argv=None):
 
             want = sa_ball_mlp_max(*sa_args)
             saved = {k: _os.environ.get(k)
-                     for k in ("DISPRCNN_SA_RANKS", "DISPRCNN_SA_VT")}
+                     for k in ("DISPRCNN_SA_RANKS", "DISPRCNN_SA_VT",
+                               "DISPRCNN_SA_ROWS")}
             try:
                 _os.environ["DISPRCNN_SA_RANKS"] = "cumsum"
                 _os.environ["DISPRCNN_SA_VT"] = "fold"
                 got = sa_ball_mlp_max(*sa_args)
+                # bit-identical by construction (exact integer ranks,
+                # exact one-hot selection)
+                check("sa variants(cumsum+fold)", got, want, tol=1e-9)
+                _os.environ["DISPRCNN_SA_ROWS"] = "4"
+                got_r = sa_ball_mlp_max(*sa_args)
+                check("sa variants(rows4+cumsum+fold)", got_r, want,
+                      tol=1e-9)
             finally:
                 for k, v_ in saved.items():
                     if v_ is None:
                         _os.environ.pop(k, None)
                     else:
                         _os.environ[k] = v_
-            # bit-identical by construction (exact integer ranks, exact
-            # one-hot selection)
-            check("sa variants(cumsum+fold)", got, want, tol=1e-9)
             return float(jnp.sum(got.astype(jnp.float32)))
 
         run("sa variants cumsum+fold vs default", fsa_variants)

@@ -59,6 +59,19 @@ STEPS = [
       "--post-nms", "100"], {}),
     ("trace_rpn3d", "tools/trace_hotspots.py",
      ["--skip", "2d,tower,trunk"], {}),
+    # --- r4e follow-ups: cumsum fixed (Pallas had no cumsum lowering —
+    # now a log-shift scan) + the rows-per-grid-step variant
+    ("smoke_sa2", "tools/kernel_smoke.py",
+     ["--skip", "conv3d,s2,deconv,cl1,cv,wconv,fp,roipool,softargmin,topk"],
+     {}),
+    ("ab_s3_head2", "tools/ab_stage3.py",
+     ["--configs",
+      "default(c0=64),ranks_cumsum,cumsum+fold,rows4,rows4+cumsum+fold",
+      "--post-nms", "16"], {}),
+    ("ab_s3_ref2", "tools/ab_stage3.py",
+     ["--configs",
+      "default(c0=64),ranks_cumsum,cumsum+fold,rows4,rows4+cumsum+fold",
+      "--post-nms", "100"], {}),
 ]
 
 
