@@ -348,6 +348,155 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
     return jnp.swapaxes(outT, 1, 2)
 
 
+def _use_gather() -> bool:
+    """Route the big neighbourhood gather through Mosaic's native
+    `tpu.dynamic_gather` (per-lane sublane gather, dst/idx/src all the same
+    (N, C) shape) instead of the one-hot bf16 MXU dot. The one-hot matrix
+    is still built once — it extracts the per-slot POINT INDEX and the xyz
+    rows via one cheap f32 dot against (xyz | iota), 4 output lanes — but
+    the (N, L) x (L, C0) selection dot (1.07 of SA0's 1.9 GFLOP/ROI at the
+    RCNN reference geometry) becomes L/N chunked hardware gathers. Exact:
+    selection either way. Default off until the on-chip A/B flips it."""
+    return os.environ.get("DISPRCNN_SA_GATHER", "0") == "1"
+
+
+def _kernel_g(s, r2, mt, nlayers, rows, *refs):
+    """Row-major SA kernel with the feature gather as chunked
+    `tpu.dynamic_gather`s (see _use_gather). Layouts are all natural
+    (B, N/M, C) — no XLA-side transposes on v, centers, or the output.
+    Bit-identical to _kernel/_kernel_t: the gather selects exactly the
+    rows the one-hot dot selected; every later bf16 association is copied
+    from _kernel."""
+    xyz, ctr, v, w0x, mul0, add0 = refs[:6]
+    wb = refs[6 : 6 + 2 * nlayers]
+    out = refs[6 + 2 * nlayers]
+    n = xyz.shape[1]
+    m = ctr.shape[1]
+    c0 = v.shape[-1]
+    ls = mt * s  # lanes... rows per tile after slot expansion
+    assert ls % n == 0, (ls, n)
+
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ).astype(jnp.float32)  # inclusive lower-tri: tri[k, n] = k <= n
+    iota_nf = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(
+        jnp.float32)
+
+    for rr in range(rows):
+        xyzv = xyz[rr].astype(jnp.float32)  # (N, 3)
+        vv = v[rr]  # (N, C0) bf16
+        # (xyz | point-index) — one f32 dot extracts both the gathered
+        # coordinates and the selected index per (center, slot) row
+        xyzi = jnp.concatenate([xyzv, iota_nf], axis=1)  # (N, 4)
+        pooled = []
+        for t0 in range(0, m, mt):
+            c = ctr[rr, t0 : t0 + mt].astype(jnp.float32)  # (mt, 3)
+            d2 = jnp.zeros((mt, n), jnp.float32)
+            for k in range(3):
+                diff = c[:, k : k + 1] - xyzv[:, k].reshape(1, n)
+                d2 = d2 + diff * diff
+            mask = (d2 < r2).astype(jnp.float32)  # strict, as CUDA
+            incl = jnp.dot(mask, tri, preferred_element_type=jnp.float32)
+            rank = incl - mask  # exclusive prefix count, int-valued f32
+            cnt = incl[:, n - 1 : n]  # (mt, 1)
+            slots = jax.lax.broadcasted_iota(
+                jnp.int32, (mt, s), 1).astype(jnp.float32)
+            tgt = jnp.where(slots < cnt, slots, 0.0)  # (mt, s)
+            onehot = (
+                (rank[:, None, :] == tgt[:, :, None]) * mask[:, None, :]
+            )  # (mt, s, n) f32 0/1
+            empty = (cnt[:, :, None] == 0.0).astype(jnp.float32)
+            e0 = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2) == 0)
+            onehot = onehot * (1.0 - empty) + empty * e0.astype(jnp.float32)
+            ohf = onehot.reshape(ls, n)  # f32 0/1, (m-major, slot) rows
+            gxi = jnp.dot(ohf, xyzi, preferred_element_type=jnp.float32)
+            gx = gxi[:, :3]  # (ls, 3) exact f32 xyz
+            idx = gxi[:, 3:4].astype(jnp.int32)  # exact: values < n <= 2^24
+            # the big gather: ls rows of C0 channels in ls/n chunks whose
+            # dst shape equals the (N, C0) source — Mosaic's supported
+            # dynamic_gather form (per-lane indices, here uniform per row)
+            parts = []
+            for cstart in range(0, ls, n):
+                idxc = jnp.broadcast_to(
+                    idx[cstart : cstart + n], (n, c0))
+                parts.append(jnp.take_along_axis(vv, idxc, axis=0))
+            gf = jnp.concatenate(parts, axis=0).astype(jnp.float32)
+            # identical bf16 association to _kernel from here down
+            cx = jnp.repeat(c, s, axis=0)  # (ls, 3)
+            ctd = (gx - cx).astype(jnp.bfloat16)
+            pos = None
+            for k in range(3):
+                t = ctd[:, k : k + 1] * w0x[k].reshape(1, c0).astype(
+                    jnp.bfloat16)
+                pos = t if pos is None else pos + t
+            x = gf.astype(jnp.bfloat16) + pos
+            x = jnp.maximum(
+                x.astype(jnp.float32) * mul0[0] + add0[0], 0.0
+            ).astype(jnp.bfloat16)
+            for i in range(nlayers):
+                wgt, bi = wb[2 * i], wb[2 * i + 1]
+                y = jnp.dot(x, wgt[...], preferred_element_type=jnp.float32)
+                x = jnp.maximum(y + bi[0], 0.0).astype(jnp.bfloat16)
+            pooled.append(jnp.max(x.reshape(mt, s, -1), axis=1))
+        out[rr] = jnp.concatenate(pooled, axis=0).astype(out.dtype)
+
+
+def _sa_ball_mlp_max_g(xyz, centers, v, w0x, mul0, add0, weights,
+                       radius, s, m_tile, interpret, rows=1):
+    b, n, _ = xyz.shape
+    m = centers.shape[1]
+    c0 = v.shape[-1]
+    nlayers = len(weights)
+    c_last = weights[-1][0].shape[-1]
+    mt = min(m_tile, m)
+    while mt > 0 and (m % mt or (mt * s) % n):
+        mt -= 1
+    assert mt >= 1, (m, s, n)
+    rows = min(rows, b)
+    while b % rows:
+        rows -= 1
+
+    in_specs = [
+        pl.BlockSpec((rows, n, 3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, m, 3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, n, c0), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, c0), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c0), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c0), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [
+        xyz, centers, v.astype(jnp.bfloat16), w0x,
+        mul0.reshape(1, c0).astype(jnp.float32),
+        add0.reshape(1, c0).astype(jnp.float32),
+    ]
+    for wgt, bias in weights:
+        ci, co = wgt.shape
+        in_specs.append(pl.BlockSpec((ci, co), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, co), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(wgt.astype(jnp.bfloat16))
+        args.append(bias.reshape(1, co).astype(jnp.float32))
+
+    return pl.pallas_call(
+        partial(_kernel_g, s, float(radius) * float(radius), mt, nlayers,
+                rows),
+        grid=(b // rows,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows, m, c_last), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, c_last), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def sa_ball_mlp_max(
     xyz: jnp.ndarray,  # (B, N, 3) f32 source points
     centers: jnp.ndarray,  # (B, M, 3) f32 query centers
@@ -368,18 +517,32 @@ def sa_ball_mlp_max(
     return _sa_ball_mlp_max_jit(
         xyz, centers, v, w0x, mul0, add0, tuple(weights), radius, s,
         m_tile, interpret, _use_transposed(), _ranks_cumsum(),
-        _fold_v_transpose(), _rows(),
+        _fold_v_transpose(), _rows(), _use_gather(),
     )
 
 
 @partial(jax.jit,
          static_argnames=("radius", "s", "m_tile", "interpret",
-                          "transposed", "ranks_cumsum", "fold_v", "rows"))
+                          "transposed", "ranks_cumsum", "fold_v", "rows",
+                          "gather"))
 def _sa_ball_mlp_max_jit(
     xyz, centers, v, w0x, mul0, add0, weights,
     radius: float, s: int, m_tile, interpret: bool,
     transposed: bool, ranks_cumsum: bool, fold_v: bool, rows: int = 1,
+    gather: bool = False,
 ) -> jnp.ndarray:
+    if gather:
+        n = xyz.shape[1]
+        m = centers.shape[1]
+        mt = min(m_tile or 128, m)
+        while mt > 0 and (m % mt or (mt * s) % n):
+            mt -= 1
+        if mt >= 1:
+            return _sa_ball_mlp_max_g(
+                xyz, centers, v, w0x, mul0, add0, tuple(weights),
+                radius, s, mt, interpret, rows,
+            )
+        # geometry has no (mt*s) % n tiling — fall through
     if transposed:
         return _sa_ball_mlp_max_t(
             xyz, centers, v, w0x, mul0, add0, tuple(weights),

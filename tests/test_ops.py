@@ -439,6 +439,14 @@ def test_fused_ball_pool_kernel_rows_batched(monkeypatch, rng):
     test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
 
 
+def test_fused_ball_pool_kernel_gather(monkeypatch, rng):
+    """DISPRCNN_SA_GATHER=1 (tpu.dynamic_gather feature selection instead
+    of the one-hot MXU dot) selects exactly the same rows — outputs must
+    match the oracles like every other variant."""
+    monkeypatch.setenv("DISPRCNN_SA_GATHER", "1")
+    test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
+
+
 def test_topk_threshold_matches_lax_topk(rng):
     """topk_threshold must be bit-identical to jax.lax.top_k on
     non-negative scores: same values, same indices, same lowest-index tie

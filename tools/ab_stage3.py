@@ -42,6 +42,11 @@ CONFIGS = {
     "rows4+cumsum+fold": ("64", "", {"DISPRCNN_SA_ROWS": "4",
                                      "DISPRCNN_SA_RANKS": "cumsum",
                                      "DISPRCNN_SA_VT": "fold"}),
+    # r4f: feature selection via tpu.dynamic_gather instead of the one-hot
+    # MXU dot (row-major kernel, no XLA-side transposes at all)
+    "gather": ("64", "", {"DISPRCNN_SA_GATHER": "1"}),
+    "gather+rows4": ("64", "", {"DISPRCNN_SA_GATHER": "1",
+                                "DISPRCNN_SA_ROWS": "4"}),
 }
 
 

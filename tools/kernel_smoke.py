@@ -240,7 +240,7 @@ def main(argv=None):
             want = sa_ball_mlp_max(*sa_args)
             saved = {k: _os.environ.get(k)
                      for k in ("DISPRCNN_SA_RANKS", "DISPRCNN_SA_VT",
-                               "DISPRCNN_SA_ROWS")}
+                               "DISPRCNN_SA_ROWS", "DISPRCNN_SA_GATHER")}
             try:
                 _os.environ["DISPRCNN_SA_RANKS"] = "cumsum"
                 _os.environ["DISPRCNN_SA_VT"] = "fold"
@@ -252,6 +252,13 @@ def main(argv=None):
                 got_r = sa_ball_mlp_max(*sa_args)
                 check("sa variants(rows4+cumsum+fold)", got_r, want,
                       tol=1e-9)
+                for k in ("DISPRCNN_SA_RANKS", "DISPRCNN_SA_VT",
+                          "DISPRCNN_SA_ROWS"):
+                    _os.environ.pop(k, None)
+                _os.environ["DISPRCNN_SA_GATHER"] = "1"
+                got_g = sa_ball_mlp_max(*sa_args)
+                check("sa variants(gather)", got_g, want, tol=1e-9)
+                _os.environ.pop("DISPRCNN_SA_GATHER", None)
             finally:
                 for k, v_ in saved.items():
                     if v_ is None:

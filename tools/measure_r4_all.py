@@ -72,6 +72,17 @@ STEPS = [
      ["--configs",
       "default(c0=64),ranks_cumsum,cumsum+fold,rows4,rows4+cumsum+fold",
       "--post-nms", "100"], {}),
+    # --- r4f: the dynamic-gather SA kernel (smoke incl. gather parity
+    # now lives in smoke_sa2's variant check)
+    ("smoke_sa3", "tools/kernel_smoke.py",
+     ["--skip", "conv3d,s2,deconv,cl1,cv,wconv,fp,roipool,softargmin,topk"],
+     {}),
+    ("ab_s3_head3", "tools/ab_stage3.py",
+     ["--configs", "default(c0=64),gather,gather+rows4",
+      "--post-nms", "16"], {}),
+    ("ab_s3_ref3", "tools/ab_stage3.py",
+     ["--configs", "default(c0=64),gather,gather+rows4",
+      "--post-nms", "100"], {}),
 ]
 
 
