@@ -349,7 +349,10 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
 
 
 def _use_gather() -> bool:
-    """Route the big neighbourhood gather through Mosaic's native
+    """Modes: "1"/"onehot" — keep the one-hot build, route only the big
+    feature-selection dot through dynamic_gather; "bisect" — drop the
+    one-hot entirely, indices from a binary search on the prefix count
+    (see _kernel_b). Route the big neighbourhood gather through Mosaic's native
     `tpu.dynamic_gather` (per-lane sublane gather, dst/idx/src all the same
     (N, C) shape) instead of the one-hot bf16 MXU dot. The one-hot matrix
     is still built once — it extracts the per-slot POINT INDEX and the xyz
@@ -385,7 +388,8 @@ def _kernel_g(s, r2, mt, nlayers, rows, *refs):
 
     for rr in range(rows):
         xyzv = xyz[rr].astype(jnp.float32)  # (N, 3)
-        vv = v[rr]  # (N, C0) bf16
+        # f32 gather width: see _kernel_b (Mosaic bitwidth-match rule)
+        vv = v[rr].astype(jnp.float32)  # (N, C0)
         # (xyz | point-index) — one f32 dot extracts both the gathered
         # coordinates and the selected index per (center, slot) row
         xyzi = jnp.concatenate([xyzv, iota_nf], axis=1)  # (N, 4)
@@ -421,7 +425,7 @@ def _kernel_g(s, r2, mt, nlayers, rows, *refs):
                 idxc = jnp.broadcast_to(
                     idx[cstart : cstart + n], (n, c0))
                 parts.append(jnp.take_along_axis(vv, idxc, axis=0))
-            gf = jnp.concatenate(parts, axis=0).astype(jnp.float32)
+            gf = jnp.concatenate(parts, axis=0)  # f32, exact bf16 values
             # identical bf16 association to _kernel from here down
             cx = jnp.repeat(c, s, axis=0)  # (ls, 3)
             ctd = (gx - cx).astype(jnp.bfloat16)
@@ -440,6 +444,172 @@ def _kernel_g(s, r2, mt, nlayers, rows, *refs):
                 x = jnp.maximum(y + bi[0], 0.0).astype(jnp.bfloat16)
             pooled.append(jnp.max(x.reshape(mt, s, -1), axis=1))
         out[rr] = jnp.concatenate(pooled, axis=0).astype(out.dtype)
+
+
+def _kernel_b(s, r2, mt, nlayers, rows, interpret, *refs):
+    """One-hot-FREE SA kernel: the slot-th in-ball point index comes from a
+    BINARY SEARCH on the inclusive prefix count (incl[:, m] is monotone in
+    the point index; the first j with incl[j] == q+1 is exactly the rank-q
+    ball point), probed with Mosaic's dynamic_gather. The (N, S*MT) one-hot
+    build — ~20M VPU elem-ops per ROI at the RCNN SA0 geometry, the
+    measured bottleneck once the selection dot is gone — becomes
+    ceil(log2 N) gather+compare+add steps on (N, MT) tiles (~2M elem-ops).
+    Bit-identical: exact integer counts, exact index selection, and the
+    same bf16 association as _kernel downstream. Empty ball -> point 0
+    (incl never reaches 1, fallback 0); partial ball -> first neighbour
+    repeated (slots >= cnt fall back to the rank-0 point)."""
+    xyz, ctr, ctrT, v, w0x, mul0, add0 = refs[:7]
+    wb = refs[7 : 7 + 2 * nlayers]
+    out = refs[7 + 2 * nlayers]
+
+    def dotf(a, b):
+        # interpret mode: XLA:CPU's DotThunk lacks BF16xBF16=F32 for some
+        # odd-shape combos; the up-cast is bit-identical (see _kernel_t)
+        if interpret:
+            a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    n = xyz.shape[1]
+    m = ctr.shape[1]  # row-major centers; ctrT is the (rows, 3, M) twin
+    c0 = v.shape[-1]
+    ls = mt * s
+    assert ls % n == 0 and s <= n, (ls, n, s)
+    kmax = 1
+    while kmax < n:
+        kmax *= 2
+
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    tq = (iota_q + 1).astype(jnp.float32)  # target count per slot row
+
+    for rr in range(rows):
+        xyzc = xyz[rr].astype(jnp.float32)  # (N, 3)
+        # gather at f32 width: Mosaic's dynamic_gather requires index and
+        # result bitwidths to match (i32 idx + bf16 result rejected on-chip,
+        # r4f queue); bf16->f32 is exact and the round-trip is bit-identical
+        vv = v[rr].astype(jnp.float32)  # (N, C0)
+        xyzi = xyzc  # (N, 3) f32 — gathered directly (no one-hot dot)
+        for t0 in range(0, m, mt):
+            cT = ctrT[rr][:, t0 : t0 + mt].astype(jnp.float32)  # (3, mt)
+            c = ctr[rr, t0 : t0 + mt].astype(jnp.float32)  # (mt, 3)
+            d2 = jnp.zeros((n, mt), jnp.float32)
+            for k in range(3):
+                diff = xyzc[:, k : k + 1] - cT[k : k + 1, :]
+                d2 = d2 + diff * diff
+            mask = d2 < r2  # strict, as the CUDA kernel
+            maskb = mask.astype(jnp.bfloat16)
+            # inclusive prefix count on the MXU (bf16 0/1 inputs, exact
+            # f32 accumulation), as _kernel_t
+            triT = (
+                jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            ).astype(jnp.bfloat16)
+            incl = dotf(triT, maskb)  # (n, mt)
+            cnt = incl[n - 1 : n, :]  # (1, mt) exact counts
+
+            # lower_bound(incl[:, m], q+1) via power-of-two jumps; row q
+            # holds the rank-q ball point index (only rows < s are used)
+            pos = jnp.zeros((n, mt), jnp.int32)
+            k = kmax
+            while k >= 1:
+                cand = jnp.minimum(pos + (k - 1), n - 1)
+                val = jnp.take_along_axis(incl, cand, axis=0)
+                step_ok = (pos + k <= n) & (val < tq)
+                pos = jnp.where(step_ok, pos + k, pos)
+                k //= 2
+            valid_q = tq <= cnt  # slot q exists iff q+1 <= cnt
+            pos0 = pos[0:1, :]  # rank-0 ball point (partial-ball fill)
+            posf = jnp.where(valid_q, pos,
+                             jnp.where(cnt > 0.0, pos0, 0))
+            posf = jnp.minimum(posf, n - 1)
+
+            # rows (q*mt + m): lanes->sublanes flatten of the (s, mt) tile
+            idx_col = posf[:s].reshape(ls, 1)
+            parts_v, parts_x = [], []
+            for cstart in range(0, ls, n):
+                idxc = idx_col[cstart : cstart + n]
+                parts_v.append(jnp.take_along_axis(
+                    vv, jnp.broadcast_to(idxc, (n, c0)), axis=0))
+                parts_x.append(jnp.take_along_axis(
+                    xyzi, jnp.broadcast_to(idxc, (n, 3)), axis=0))
+            gf = jnp.concatenate(parts_v, axis=0).astype(
+                jnp.bfloat16)  # (ls, C0) exact round-trip
+            gx = jnp.concatenate(parts_x, axis=0)  # (ls, 3) f32 exact
+            # identical bf16 association to _kernel from here down
+            cx = jnp.concatenate([c] * s, axis=0)  # (ls, 3) slot-major
+            ctd = (gx - cx).astype(jnp.bfloat16)
+            pos_t = None
+            for k in range(3):
+                t = ctd[:, k : k + 1] * w0x[k].reshape(1, c0).astype(
+                    jnp.bfloat16)
+                pos_t = t if pos_t is None else pos_t + t
+            x = gf + pos_t  # gf already exact bf16 rows of v
+            x = jnp.maximum(
+                x.astype(jnp.float32) * mul0[0] + add0[0], 0.0
+            ).astype(jnp.bfloat16)
+            for i in range(nlayers):
+                wgt, bi = wb[2 * i], wb[2 * i + 1]
+                y = dotf(x, wgt[...])
+                x = jnp.maximum(y + bi[0], 0.0).astype(jnp.bfloat16)
+            pooled = jnp.max(x.reshape(s, mt, -1), axis=0)  # (mt, c_last)
+            out[rr, t0 : t0 + mt, :] = pooled.astype(out.dtype)
+
+
+def _sa_ball_mlp_max_b(xyz, centers, v, w0x, mul0, add0, weights,
+                       radius, s, m_tile, interpret, rows=1):
+    b, n, _ = xyz.shape
+    m = centers.shape[1]
+    c0 = v.shape[-1]
+    nlayers = len(weights)
+    c_last = weights[-1][0].shape[-1]
+    mt = min(m_tile, m)
+    while mt > 0 and (m % mt or (mt * s) % n):
+        mt -= 1
+    assert mt >= 1, (m, s, n)
+    rows = min(rows, b)
+    while b % rows:
+        rows -= 1
+
+    in_specs = [
+        pl.BlockSpec((rows, n, 3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, m, 3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 3, m), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, n, c0), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, c0), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c0), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c0), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [
+        xyz, centers, jnp.swapaxes(centers, 1, 2), v.astype(jnp.bfloat16),
+        w0x,
+        mul0.reshape(1, c0).astype(jnp.float32),
+        add0.reshape(1, c0).astype(jnp.float32),
+    ]
+    for wgt, bias in weights:
+        ci, co = wgt.shape
+        in_specs.append(pl.BlockSpec((ci, co), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, co), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(wgt.astype(jnp.bfloat16))
+        args.append(bias.reshape(1, co).astype(jnp.float32))
+
+    return pl.pallas_call(
+        partial(_kernel_b, s, float(radius) * float(radius), mt, nlayers,
+                rows, interpret),
+        grid=(b // rows,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows, m, c_last), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, c_last), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
 
 
 def _sa_ball_mlp_max_g(xyz, centers, v, w0x, mul0, add0, weights,
@@ -529,7 +699,7 @@ def _sa_ball_mlp_max_jit(
     xyz, centers, v, w0x, mul0, add0, weights,
     radius: float, s: int, m_tile, interpret: bool,
     transposed: bool, ranks_cumsum: bool, fold_v: bool, rows: int = 1,
-    gather: bool = False,
+    gather: str = "",
 ) -> jnp.ndarray:
     if gather:
         n = xyz.shape[1]
@@ -537,8 +707,10 @@ def _sa_ball_mlp_max_jit(
         mt = min(m_tile or 128, m)
         while mt > 0 and (m % mt or (mt * s) % n):
             mt -= 1
-        if mt >= 1:
-            return _sa_ball_mlp_max_g(
+        if mt >= 1 and (gather != "bisect" or s <= n):
+            fn = (_sa_ball_mlp_max_b if gather == "bisect"
+                  else _sa_ball_mlp_max_g)
+            return fn(
                 xyz, centers, v, w0x, mul0, add0, tuple(weights),
                 radius, s, mt, interpret, rows,
             )

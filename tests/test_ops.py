@@ -447,6 +447,45 @@ def test_fused_ball_pool_kernel_gather(monkeypatch, rng):
     test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
 
 
+def test_fused_ball_pool_kernel_bisect(monkeypatch, rng):
+    """DISPRCNN_SA_GATHER=bisect/onehot-gather vs the default kernel at a
+    geometry where the (mt*s) % n tiling holds (the shared test's n=40
+    has none and silently falls through to the default path): bit-identical
+    across variants and rows, incl. empty balls (far center), partial
+    balls (tiny radius), and non-power-of-2 n (bisection guard)."""
+    import os as _os
+
+    from disprcnn_tpu.ops.pallas.sa_fused import sa_ball_mlp_max
+
+    for n, m in ((64, 16), (48, 24)):  # pow2 and non-pow2 source counts
+        b, s, c0 = 4, 8, 64
+        # the (mt*s) % n tiling must hold or the variant silently falls
+        # through to the default kernel and the test tests nothing
+        assert (min(128, m) * s) % n == 0, (n, m)
+        xyz = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32)) * 2
+        centers = jnp.concatenate(
+            [xyz[:, : m - 1], jnp.full((b, 1, 3), 50.0)], axis=1)
+        v = jnp.asarray(rng.normal(size=(b, n, c0)).astype(np.float32))
+        w0x = jnp.asarray(rng.normal(size=(3, c0)).astype(np.float32)) * 0.1
+        mul0 = jnp.ones((c0,), jnp.float32)
+        add0 = jnp.zeros((c0,), jnp.float32)
+        ws = tuple(
+            (jnp.asarray(rng.normal(size=(c0, c0)).astype(np.float32)) * 0.1,
+             jnp.zeros((c0,), jnp.float32))
+            for _ in range(2))
+        args = (xyz, centers, v, w0x, mul0, add0, ws, 1.2, s)
+        monkeypatch.delenv("DISPRCNN_SA_GATHER", raising=False)
+        want = sa_ball_mlp_max(*args, interpret=True)
+        for mode, rows in (("bisect", 1), ("bisect", 2), ("onehot", 1)):
+            monkeypatch.setenv("DISPRCNN_SA_GATHER", mode)
+            monkeypatch.setenv("DISPRCNN_SA_ROWS", str(rows))
+            got = sa_ball_mlp_max(*args, interpret=True)
+            np.testing.assert_array_equal(
+                np.asarray(got, np.float32), np.asarray(want, np.float32),
+                err_msg=f"mode={mode} rows={rows} n={n}")
+            monkeypatch.delenv("DISPRCNN_SA_ROWS", raising=False)
+
+
 def test_topk_threshold_matches_lax_topk(rng):
     """topk_threshold must be bit-identical to jax.lax.top_k on
     non-negative scores: same values, same indices, same lowest-index tie
