@@ -45,6 +45,16 @@ def _ranks_cumsum() -> bool:
     return os.environ.get("DISPRCNN_SA_RANKS", "tri") == "cumsum"
 
 
+def _xfold() -> bool:
+    """Fold the 9 hi/mid/lo xyz rows INTO the feature operand so the two
+    selection dots become ONE (C0+9, N) x (N, L) dot. The standalone
+    g3 = (9, N) x (N, L) dot has 9 output rows — the MXU processes output
+    row-tiles of 128, so it costs nearly as much as the full C0=128 feature
+    dot while carrying 7% of its flops. Bit-identical: dot output rows are
+    independent. Default off until the on-chip A/B flips it."""
+    return os.environ.get("DISPRCNN_SA_XFOLD", "0") == "1"
+
+
 def _fold_v_transpose() -> bool:
     """Take v as (B, N, C0) blocks and contract over N inside the kernel
     (lax.dot_general, contracting dim 0 of both operands) instead of
@@ -136,7 +146,7 @@ def _rows() -> int:
 
 
 def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, rows, interpret,
-              *refs):
+              xfold, *refs):
     """Transposed reformulation of _kernel — bit-identical outputs, ~3x less
     MXU-equivalent work at the RCNN SA0 geometry (B256 N512 M128 S64 C128):
 
@@ -154,9 +164,15 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, rows, interpret,
       clamped to s<=256 are bf16-exact) and the max-over-S is a log tree
       of lane-aligned slices. Inputs arrive pre-transposed from XLA.
     """
-    xyz, ctrT, vT, xyz3T, w0xT, mul0, add0 = refs[:7]
-    wb = refs[7 : 7 + 2 * nlayers]
-    out = refs[7 + 2 * nlayers]
+    if xfold:  # xyz3T rows ride inside vT: (rows, C0+9, N)
+        xyz, ctrT, vT, w0xT, mul0, add0 = refs[:6]
+        xyz3T = None
+        wb = refs[6 : 6 + 2 * nlayers]
+        out = refs[6 + 2 * nlayers]
+    else:
+        xyz, ctrT, vT, xyz3T, w0xT, mul0, add0 = refs[:7]
+        wb = refs[7 : 7 + 2 * nlayers]
+        out = refs[7 + 2 * nlayers]
 
     def dotf(a, b, dims=None):
         """bf16 x bf16 -> f32 dot. In interpret mode XLA:CPU's DotThunk
@@ -171,7 +187,7 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, rows, interpret,
             a, b, dims, preferred_element_type=jnp.float32)
     n = xyz.shape[1]
     m = ctrT.shape[2]
-    c0 = vT.shape[1]
+    c0 = vT.shape[1] - (9 if xfold else 0)
     sf = float(s)
 
     if not use_cumsum:
@@ -190,8 +206,8 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, rows, interpret,
     for rr, t0 in [(r_, t_) for r_ in range(rows)
                    for t_ in range(0, m, mt)]:
         xyzc = xyz[rr].astype(jnp.float32)  # (N, 3) f32 column access
-        vv = vT[rr]  # (C0, N) bf16 — or (N, C0) when folded
-        x3 = xyz3T[rr]  # (9, N) bf16 hi/mid/lo rows
+        vv = vT[rr]  # (C0[+9], N) bf16 — or (N, C0) when folded
+        x3 = None if xfold else xyz3T[rr]  # (9, N) bf16 hi/mid/lo rows
         cT = ctrT[rr][:, t0 : t0 + mt].astype(jnp.float32)  # (3, mt)
         d2 = jnp.zeros((n, mt), jnp.float32)
         for k in range(3):
@@ -239,13 +255,22 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, rows, interpret,
 
         # gathers as bf16 MXU dots with f32 accumulation: one-hot rows sum
         # exactly one term -> exact selection, any contraction order
-        if fold_v:
+        if xfold:
+            # one (C0+9, N) x (N, L) dot: the xyz hi/mid/lo rows ride in
+            # the feature operand (a standalone 9-row dot costs a full
+            # MXU output row-tile); rows of a dot are independent, so
+            # gf/g3 are bit-identical to the two-dot form
+            gfx = dotf(vv, oh)  # (C0+9, L)
+            gf = gfx[:c0]
+            g3 = gfx[c0:]
+        elif fold_v:
             # vv is (N, C0): contract over N without the XLA-side HBM
             # transpose (the MXU streams either operand orientation)
             gf = dotf(vv, oh, (((0,), (0,)), ((), ())))  # (C0, L)
+            g3 = dotf(x3, oh)  # (9, L)
         else:
             gf = dotf(vv, oh)  # (C0, L)
-        g3 = dotf(x3, oh)  # (9, L)
+            g3 = dotf(x3, oh)  # (9, L)
         gx = (g3[0:3] + g3[3:6]) + g3[6:9]  # exact f32 xyz (3-split)
         cx = jnp.concatenate([cT] * s, axis=1)  # (3, s*mt)
         ctd = (gx - cx).astype(jnp.bfloat16)  # f32 centering, then bf16
@@ -274,7 +299,8 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, rows, interpret,
 
 def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
                        radius, s, m_tile, interpret,
-                       ranks_cumsum=False, fold_v=False, rows=1):
+                       ranks_cumsum=False, fold_v=False, rows=1,
+                       xfold=False):
     b, n, _ = xyz.shape
     m = centers.shape[1]
     c0 = v.shape[-1]
@@ -294,31 +320,42 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     xyz3T = jnp.concatenate([hi, mid, lo], axis=1)  # (B, 9, N)
 
-    v_spec = (
-        pl.BlockSpec((rows, n, c0), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM)
-        if fold_v else
-        pl.BlockSpec((rows, c0, n), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM)
-    )
+    assert not (xfold and fold_v), "xfold needs the (C, N) transposed v"
+    if xfold:
+        # xyz3T rides inside the feature operand: ONE (C0+9, N) selection
+        # dot in the kernel instead of a full-row-tile 9-row second dot
+        vT = jnp.concatenate(
+            [jnp.swapaxes(v.astype(jnp.bfloat16), 1, 2), xyz3T], axis=1)
+        v_spec = pl.BlockSpec((rows, c0 + 9, n), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        vT = (v.astype(jnp.bfloat16) if fold_v
+              else jnp.swapaxes(v.astype(jnp.bfloat16), 1, 2))
+        v_spec = (
+            pl.BlockSpec((rows, n, c0), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            if fold_v else
+            pl.BlockSpec((rows, c0, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
     in_specs = [
         pl.BlockSpec((rows, n, 3), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rows, 3, m), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         v_spec,
-        pl.BlockSpec((rows, 9, n), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+    ]
+    args = [xyz, jnp.swapaxes(centers, 1, 2), vT]
+    if not xfold:
+        in_specs.append(pl.BlockSpec((rows, 9, n), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(xyz3T)
+    in_specs += [
         pl.BlockSpec((c0, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c0, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c0, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [
-        xyz,
-        jnp.swapaxes(centers, 1, 2),
-        v.astype(jnp.bfloat16) if fold_v
-        else jnp.swapaxes(v.astype(jnp.bfloat16), 1, 2),
-        xyz3T,
+    args += [
         jnp.swapaxes(w0x, 0, 1),
         mul0.reshape(c0, 1).astype(jnp.float32),
         add0.reshape(c0, 1).astype(jnp.float32),
@@ -334,7 +371,7 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
 
     outT = pl.pallas_call(
         partial(_kernel_t, s, float(radius) * float(radius), mt, nlayers,
-                fold_v, ranks_cumsum, rows, interpret),
+                fold_v, ranks_cumsum, rows, interpret, xfold),
         grid=(b // rows,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, c_last, m), lambda i: (i, 0, 0),
@@ -687,19 +724,19 @@ def sa_ball_mlp_max(
     return _sa_ball_mlp_max_jit(
         xyz, centers, v, w0x, mul0, add0, tuple(weights), radius, s,
         m_tile, interpret, _use_transposed(), _ranks_cumsum(),
-        _fold_v_transpose(), _rows(), _use_gather(),
+        _fold_v_transpose(), _rows(), _use_gather(), _xfold(),
     )
 
 
 @partial(jax.jit,
          static_argnames=("radius", "s", "m_tile", "interpret",
                           "transposed", "ranks_cumsum", "fold_v", "rows",
-                          "gather"))
+                          "gather", "xfold"))
 def _sa_ball_mlp_max_jit(
     xyz, centers, v, w0x, mul0, add0, weights,
     radius: float, s: int, m_tile, interpret: bool,
     transposed: bool, ranks_cumsum: bool, fold_v: bool, rows: int = 1,
-    gather: str = "",
+    gather: str = "", xfold: bool = False,
 ) -> jnp.ndarray:
     if gather:
         n = xyz.shape[1]
@@ -718,8 +755,8 @@ def _sa_ball_mlp_max_jit(
     if transposed:
         return _sa_ball_mlp_max_t(
             xyz, centers, v, w0x, mul0, add0, tuple(weights),
-            radius, s, m_tile or 128, interpret, ranks_cumsum, fold_v,
-            rows,
+            radius, s, m_tile or 128, interpret, ranks_cumsum,
+            fold_v and not xfold, rows, xfold,
         )
     b, n, _ = xyz.shape
     m = centers.shape[1]

@@ -439,6 +439,21 @@ def test_fused_ball_pool_kernel_rows_batched(monkeypatch, rng):
     test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
 
 
+def test_fused_ball_pool_kernel_xfold(monkeypatch, rng):
+    """DISPRCNN_SA_XFOLD=1 (xyz hi/mid/lo rows folded into the feature
+    operand, one selection dot) — dot rows are independent, so outputs
+    must be bit-identical to the two-dot default."""
+    monkeypatch.setenv("DISPRCNN_SA_XFOLD", "1")
+    test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
+
+
+def test_fused_ball_pool_kernel_xfold_cumsum(monkeypatch, rng):
+    monkeypatch.setenv("DISPRCNN_SA_XFOLD", "1")
+    monkeypatch.setenv("DISPRCNN_SA_RANKS", "cumsum")
+    monkeypatch.setenv("DISPRCNN_SA_ROWS", "2")
+    test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
+
+
 def test_fused_ball_pool_kernel_gather(monkeypatch, rng):
     """DISPRCNN_SA_GATHER=1 (tpu.dynamic_gather feature selection instead
     of the one-hot MXU dot) selects exactly the same rows — outputs must

@@ -47,6 +47,15 @@ CONFIGS = {
     "gather": ("64", "", {"DISPRCNN_SA_GATHER": "1"}),
     "gather+rows4": ("64", "", {"DISPRCNN_SA_GATHER": "1",
                                 "DISPRCNN_SA_ROWS": "4"}),
+    # r4h: one-hot-free bisect kernel (binary search on the prefix count)
+    "bisect": ("64", "", {"DISPRCNN_SA_GATHER": "bisect"}),
+    "bisect+rows4": ("64", "", {"DISPRCNN_SA_GATHER": "bisect",
+                                "DISPRCNN_SA_ROWS": "4"}),
+    # r4h: xyz rows folded into the feature selection dot (the 9-row g3
+    # dot costs a full MXU output row-tile standalone)
+    "xfold": ("64", "", {"DISPRCNN_SA_XFOLD": "1"}),
+    "xfold+cumsum": ("64", "", {"DISPRCNN_SA_XFOLD": "1",
+                                "DISPRCNN_SA_RANKS": "cumsum"}),
 }
 
 

@@ -258,6 +258,9 @@ def main(argv=None):
                 _os.environ["DISPRCNN_SA_GATHER"] = "1"
                 got_g = sa_ball_mlp_max(*sa_args)
                 check("sa variants(gather)", got_g, want, tol=1e-9)
+                _os.environ["DISPRCNN_SA_GATHER"] = "bisect"
+                got_b = sa_ball_mlp_max(*sa_args)
+                check("sa variants(bisect)", got_b, want, tol=1e-9)
                 _os.environ.pop("DISPRCNN_SA_GATHER", None)
             finally:
                 for k, v_ in saved.items():

@@ -83,6 +83,14 @@ STEPS = [
     ("ab_s3_ref3", "tools/ab_stage3.py",
      ["--configs", "default(c0=64),gather,gather+rows4",
       "--post-nms", "100"], {}),
+    # --- r4h: xfold (one selection dot) x ranks; bisect dropped — Mosaic's
+    # dynamic_gather can't index >1 vreg along the gather dim (r4g queue)
+    ("ab_s3_head4", "tools/ab_stage3.py",
+     ["--configs", "default(c0=64),xfold,xfold+cumsum",
+      "--post-nms", "16"], {}),
+    ("ab_s3_ref4", "tools/ab_stage3.py",
+     ["--configs", "default(c0=64),xfold,xfold+cumsum,ranks_cumsum",
+      "--post-nms", "100"], {}),
 ]
 
 
