@@ -240,7 +240,8 @@ def main(argv=None):
             want = sa_ball_mlp_max(*sa_args)
             saved = {k: _os.environ.get(k)
                      for k in ("DISPRCNN_SA_RANKS", "DISPRCNN_SA_VT",
-                               "DISPRCNN_SA_ROWS", "DISPRCNN_SA_GATHER")}
+                               "DISPRCNN_SA_ROWS", "DISPRCNN_SA_GATHER",
+                               "DISPRCNN_SA_XFOLD")}
             try:
                 _os.environ["DISPRCNN_SA_RANKS"] = "cumsum"
                 _os.environ["DISPRCNN_SA_VT"] = "fold"
@@ -255,13 +256,12 @@ def main(argv=None):
                 for k in ("DISPRCNN_SA_RANKS", "DISPRCNN_SA_VT",
                           "DISPRCNN_SA_ROWS"):
                     _os.environ.pop(k, None)
-                _os.environ["DISPRCNN_SA_GATHER"] = "1"
-                got_g = sa_ball_mlp_max(*sa_args)
-                check("sa variants(gather)", got_g, want, tol=1e-9)
-                _os.environ["DISPRCNN_SA_GATHER"] = "bisect"
-                got_b = sa_ball_mlp_max(*sa_args)
-                check("sa variants(bisect)", got_b, want, tol=1e-9)
-                _os.environ.pop("DISPRCNN_SA_GATHER", None)
+                # gather/bisect modes retired: Mosaic's dynamic_gather
+                # rejects >1 source vreg along the gather dim (r4g queue)
+                _os.environ["DISPRCNN_SA_XFOLD"] = "1"
+                got_x = sa_ball_mlp_max(*sa_args)
+                check("sa variants(xfold)", got_x, want, tol=1e-9)
+                _os.environ.pop("DISPRCNN_SA_XFOLD", None)
             finally:
                 for k, v_ in saved.items():
                     if v_ is None:
