@@ -38,11 +38,13 @@ def _use_transposed() -> bool:
 
 def _ranks_cumsum() -> bool:
     """Prefix ranks via an in-kernel cumsum over the N (sublane) axis
-    instead of the (N, N) triangular bf16 matmul — the tri-dot is ~14% of
-    the SA0 mega-kernel's MXU flops (512^2 x mt per tile) and the counts
-    are small exact integers either way. Default stays the tri matmul
-    until the on-chip A/B (tools/ab_stage3.py) flips it."""
-    return os.environ.get("DISPRCNN_SA_RANKS", "tri") == "cumsum"
+    (Hillis-Steele log-shift scan) instead of the (N, N) triangular bf16
+    matmul — the tri-dot is ~14% of the SA0 mega-kernel's MXU flops
+    (512^2 x mt per tile) and the counts are small exact integers either
+    way. Default ON since the r4h on-chip A/B (tools/ab_stage3.py,
+    2026-08-20): xfold+cumsum is best at BOTH budgets (rcnn 35.77->34.44 ms
+    at the 1600-ROI reference budget, rpn3d 4.66->4.31)."""
+    return os.environ.get("DISPRCNN_SA_RANKS", "cumsum") == "cumsum"
 
 
 def _xfold() -> bool:
@@ -51,8 +53,10 @@ def _xfold() -> bool:
     g3 = (9, N) x (N, L) dot has 9 output rows — the MXU processes output
     row-tiles of 128, so it costs nearly as much as the full C0=128 feature
     dot while carrying 7% of its flops. Bit-identical: dot output rows are
-    independent. Default off until the on-chip A/B flips it."""
-    return os.environ.get("DISPRCNN_SA_XFOLD", "0") == "1"
+    independent. Default ON since the r4h on-chip A/B (2026-08-20,
+    bit-exact parity in kernel_smoke): rcnn 5.68->5.09 ms at the headline
+    budget, 35.77->34.44 (with cumsum) at the reference budget."""
+    return os.environ.get("DISPRCNN_SA_XFOLD", "1") == "1"
 
 
 def _fold_v_transpose() -> bool:

@@ -427,8 +427,17 @@ def test_fused_ball_pool_kernel_variants(monkeypatch, rng):
     transpose) must be bit-identical to the default kernel config — both
     change only HOW exact integer ranks / exact one-hot selections are
     computed."""
+    monkeypatch.setenv("DISPRCNN_SA_XFOLD", "0")  # fold_v needs (N, C0) v
     monkeypatch.setenv("DISPRCNN_SA_RANKS", "cumsum")
     monkeypatch.setenv("DISPRCNN_SA_VT", "fold")
+    test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
+
+
+def test_fused_ball_pool_kernel_legacy_tri_twodot(monkeypatch, rng):
+    """The pre-r4h default (two selection dots, tri-matmul ranks) stays
+    covered now that the shipped default is xfold+cumsum."""
+    monkeypatch.setenv("DISPRCNN_SA_XFOLD", "0")
+    monkeypatch.setenv("DISPRCNN_SA_RANKS", "tri")
     test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
 
 

@@ -29,10 +29,18 @@ CONFIGS = {
     "no_fp": ("64", "fp", {}),
     "no_pool": ("64", "pool", {}),
     "all_off": ("64", "sa,fp,pool", {}),
-    # r4 SA mega-kernel variants (bit-identical outputs; see sa_fused.py)
-    "ranks_cumsum": ("64", "", {"DISPRCNN_SA_RANKS": "cumsum"}),
-    "vt_fold": ("64", "", {"DISPRCNN_SA_VT": "fold"}),
-    "cumsum+fold": ("64", "", {"DISPRCNN_SA_RANKS": "cumsum",
+    # r4 SA mega-kernel variants (bit-identical outputs; see sa_fused.py).
+    # Since r4h the SHIPPED default is xfold+cumsum — every variant row
+    # pins XFOLD/RANKS explicitly so its meaning survives default flips.
+    "legacy_tri": ("64", "", {"DISPRCNN_SA_XFOLD": "0",
+                              "DISPRCNN_SA_RANKS": "tri"}),
+    "ranks_cumsum": ("64", "", {"DISPRCNN_SA_XFOLD": "0",
+                                "DISPRCNN_SA_RANKS": "cumsum"}),
+    "vt_fold": ("64", "", {"DISPRCNN_SA_XFOLD": "0",
+                           "DISPRCNN_SA_RANKS": "tri",
+                           "DISPRCNN_SA_VT": "fold"}),
+    "cumsum+fold": ("64", "", {"DISPRCNN_SA_XFOLD": "0",
+                               "DISPRCNN_SA_RANKS": "cumsum",
                                "DISPRCNN_SA_VT": "fold"}),
     # r4e: R ROIs per grid step (pure grid reshape, bit-identical)
     "rows4": ("64", "", {"DISPRCNN_SA_ROWS": "4"}),

@@ -243,6 +243,9 @@ def main(argv=None):
                                "DISPRCNN_SA_ROWS", "DISPRCNN_SA_GATHER",
                                "DISPRCNN_SA_XFOLD")}
             try:
+                # want = shipped default (xfold+cumsum since r4h); every
+                # legacy arm must stay bit-identical to it
+                _os.environ["DISPRCNN_SA_XFOLD"] = "0"
                 _os.environ["DISPRCNN_SA_RANKS"] = "cumsum"
                 _os.environ["DISPRCNN_SA_VT"] = "fold"
                 got = sa_ball_mlp_max(*sa_args)
@@ -258,10 +261,12 @@ def main(argv=None):
                     _os.environ.pop(k, None)
                 # gather/bisect modes retired: Mosaic's dynamic_gather
                 # rejects >1 source vreg along the gather dim (r4g queue)
-                _os.environ["DISPRCNN_SA_XFOLD"] = "1"
+                _os.environ["DISPRCNN_SA_RANKS"] = "tri"
                 got_x = sa_ball_mlp_max(*sa_args)
-                check("sa variants(xfold)", got_x, want, tol=1e-9)
+                check("sa variants(legacy tri+twodot)", got_x, want,
+                      tol=1e-9)
                 _os.environ.pop("DISPRCNN_SA_XFOLD", None)
+                _os.environ.pop("DISPRCNN_SA_RANKS", None)
             finally:
                 for k, v_ in saved.items():
                     if v_ is None:

@@ -85,12 +85,20 @@ STEPS = [
       "--post-nms", "100"], {}),
     # --- r4h: xfold (one selection dot) x ranks; bisect dropped — Mosaic's
     # dynamic_gather can't index >1 vreg along the gather dim (r4g queue)
+    ("smoke_sa4", "tools/kernel_smoke.py",
+     ["--skip", "conv3d,s2,deconv,cl1,cv,wconv,fp,roipool,softargmin,topk"],
+     {}),
     ("ab_s3_head4", "tools/ab_stage3.py",
      ["--configs", "default(c0=64),xfold,xfold+cumsum",
       "--post-nms", "16"], {}),
     ("ab_s3_ref4", "tools/ab_stage3.py",
      ["--configs", "default(c0=64),xfold,xfold+cumsum,ranks_cumsum",
       "--post-nms", "100"], {}),
+    # full driver-equivalent bench with the candidate new defaults pinned
+    # (flip the code defaults to whichever wins before round end)
+    ("bench_xfold", "bench.py", [], {"DISPRCNN_SA_XFOLD": "1"}),
+    ("bench_xfold_cumsum", "bench.py", [],
+     {"DISPRCNN_SA_XFOLD": "1", "DISPRCNN_SA_RANKS": "cumsum"}),
 ]
 
 
