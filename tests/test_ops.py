@@ -463,28 +463,52 @@ def test_fused_ball_pool_kernel_xfold_cumsum(monkeypatch, rng):
     test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
 
 
-def test_fused_ball_pool_kernel_gather(monkeypatch, rng):
-    """DISPRCNN_SA_GATHER=1 (tpu.dynamic_gather feature selection instead
-    of the one-hot MXU dot) selects exactly the same rows — outputs must
-    match the oracles like every other variant."""
-    monkeypatch.setenv("DISPRCNN_SA_GATHER", "1")
+def test_fused_ball_pool_kernel_lanes_shared_geometry(monkeypatch, rng):
+    """DISPRCNN_SA_GATHER=lanes through the full SharedMLP factored path
+    at the shared test's awkward geometry (n=40 needs lane padding,
+    m=8 -> mt=8 with 16-slot packs) — the lanes kernel has no geometry
+    fall-through, so this exercises pad + pack-duplicate handling."""
+    monkeypatch.setenv("DISPRCNN_SA_GATHER", "lanes")
     test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
 
 
 def test_fused_ball_pool_kernel_bisect(monkeypatch, rng):
-    """DISPRCNN_SA_GATHER=bisect/onehot-gather vs the default kernel at a
-    geometry where the (mt*s) % n tiling holds (the shared test's n=40
-    has none and silently falls through to the default path): bit-identical
-    across variants and rows, incl. empty balls (far center), partial
-    balls (tiny radius), and non-power-of-2 n (bisection guard)."""
-    import os as _os
+    """DISPRCNN_SA_GATHER=bisect/onehot-gather/lanes vs the default kernel
+    at a geometry where the (mt*s) % n tiling holds (the shared test's
+    n=40 has none and silently falls through to the default path):
+    bit-identical across variants and rows, incl. empty balls (far
+    center), partial balls (tiny radius), and non-power-of-2 n (bisection
+    guard). Each arm ASSERTS the intended variant kernel actually ran —
+    the r4 version of this test compared the default kernel against
+    itself through a broken env gate (ADVICE r4)."""
+    from disprcnn_tpu.ops.pallas import sa_fused
 
-    from disprcnn_tpu.ops.pallas.sa_fused import sa_ball_mlp_max
+    ran = []
+
+    def _track(name, fn):
+        def wrapped(*a, **k):
+            ran.append(name)
+            return fn(*a, **k)
+        return wrapped
+
+    monkeypatch.setattr(
+        sa_fused, "_sa_ball_mlp_max_b",
+        _track("bisect", sa_fused._sa_ball_mlp_max_b))
+    monkeypatch.setattr(
+        sa_fused, "_sa_ball_mlp_max_g",
+        _track("onehot", sa_fused._sa_ball_mlp_max_g))
+    monkeypatch.setattr(
+        sa_fused, "_sa_ball_mlp_max_l",
+        _track("lanes", sa_fused._sa_ball_mlp_max_l))
+    # the jit caches traces per (shape, static-config) key; a prior trace
+    # of the same config+shape would skip the wrapped python call and the
+    # ran-assertion would false-negative
+    sa_fused._sa_ball_mlp_max_jit.clear_cache()
 
     for n, m in ((64, 16), (48, 24)):  # pow2 and non-pow2 source counts
         b, s, c0 = 4, 8, 64
-        # the (mt*s) % n tiling must hold or the variant silently falls
-        # through to the default kernel and the test tests nothing
+        # the (mt*s) % n tiling must hold or the bisect/onehot variants
+        # silently fall through to the default kernel
         assert (min(128, m) * s) % n == 0, (n, m)
         xyz = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32)) * 2
         centers = jnp.concatenate(
@@ -499,11 +523,17 @@ def test_fused_ball_pool_kernel_bisect(monkeypatch, rng):
             for _ in range(2))
         args = (xyz, centers, v, w0x, mul0, add0, ws, 1.2, s)
         monkeypatch.delenv("DISPRCNN_SA_GATHER", raising=False)
-        want = sa_ball_mlp_max(*args, interpret=True)
-        for mode, rows in (("bisect", 1), ("bisect", 2), ("onehot", 1)):
+        want = sa_fused.sa_ball_mlp_max(*args, interpret=True)
+        for mode, rows in (("bisect", 1), ("bisect", 2), ("onehot", 1),
+                           ("lanes", 1), ("lanes", 2)):
             monkeypatch.setenv("DISPRCNN_SA_GATHER", mode)
             monkeypatch.setenv("DISPRCNN_SA_ROWS", str(rows))
-            got = sa_ball_mlp_max(*args, interpret=True)
+            ran.clear()
+            got = sa_fused.sa_ball_mlp_max(*args, interpret=True)
+            assert ran == [mode], (
+                f"variant {mode} did not dispatch (ran={ran}) — env gate "
+                f"or geometry fall-through; the comparison below would be "
+                f"vacuous")
             np.testing.assert_array_equal(
                 np.asarray(got, np.float32), np.asarray(want, np.float32),
                 err_msg=f"mode={mode} rows={rows} n={n}")

@@ -64,6 +64,12 @@ CONFIGS = {
     "xfold": ("64", "", {"DISPRCNN_SA_XFOLD": "1"}),
     "xfold+cumsum": ("64", "", {"DISPRCNN_SA_XFOLD": "1",
                                 "DISPRCNN_SA_RANKS": "cumsum"}),
+    # r5: lane-chunked hardware gather replaces the one-hot selection dot
+    # (1.07 of SA0's 1.9 GFLOP/ROI); compare-sum slot indices, slot packs
+    # of 128 lanes (sa_fused._kernel_l)
+    "lanes": ("64", "", {"DISPRCNN_SA_GATHER": "lanes"}),
+    "lanes+rows4": ("64", "", {"DISPRCNN_SA_GATHER": "lanes",
+                               "DISPRCNN_SA_ROWS": "4"}),
 }
 
 

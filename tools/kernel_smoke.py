@@ -267,6 +267,17 @@ def main(argv=None):
                       tol=1e-9)
                 _os.environ.pop("DISPRCNN_SA_XFOLD", None)
                 _os.environ.pop("DISPRCNN_SA_RANKS", None)
+                # r5 lanes kernel: feature selection via <=128-lane-table
+                # chunked tpu.dynamic_gather (the r4-rejected forms were
+                # SUBLANE gathers; the lane-axis vreg limit is 128)
+                _os.environ["DISPRCNN_SA_GATHER"] = "lanes"
+                got_l = sa_ball_mlp_max(*sa_args)
+                check("sa variants(lanes gather)", got_l, want, tol=1e-9)
+                _os.environ["DISPRCNN_SA_ROWS"] = "4"
+                got_lr = sa_ball_mlp_max(*sa_args)
+                check("sa variants(lanes+rows4)", got_lr, want, tol=1e-9)
+                _os.environ.pop("DISPRCNN_SA_GATHER", None)
+                _os.environ.pop("DISPRCNN_SA_ROWS", None)
             finally:
                 for k, v_ in saved.items():
                     if v_ is None:
