@@ -191,22 +191,32 @@ class SharedMLP(nn.Module):
                 grouped_xyz if callable(grouped_xyz)
                 else (None if grouped_xyz is None else (lambda: grouped_xyz))
             )
-            if (
+            fused_common = (
                 pool
-                and not train
                 and ball is not None
                 and feats is not None
                 and gx_fn is not None
                 and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
-                and not kernel_disabled("sa")
                 and not self.is_initializing()
                 and self.channels[0] >= _sa_min_c0()
-            ):
+            )
+            if fused_common and not train and not kernel_disabled("sa"):
                 # whole-scale mega-kernel: ball query + gathers + MLP + max
                 # in one VMEM pass (ops/pallas/sa_fused.py). The idx/gx
                 # operands of the fallback path below are dead under jit
                 # and DCE'd.
                 return self._fused_ball_pool(ball, feats)
+            if (fused_common and train and not self.use_bn
+                    and self.dtype == jnp.bfloat16
+                    and not kernel_disabled("satrain")):
+                # train-path fused SA (VERDICT r4 ask #6): mega-kernel fwd +
+                # XLA-oracle custom_vjp bwd. BN-free scales only (RCNN):
+                # train-mode BN stats need the grouped domain. bf16 models
+                # only — the kernel computes in bf16 internally, and
+                # silently bf16-ing an f32 model's forward shifts its max-
+                # pool selections (~15% grad divergence measured on a tiny
+                # f32 RCNNNet); for bf16 models both paths round alike.
+                return self._fused_ball_pool(ball, feats, train=True)
             nxyz = 0 if gx_fn is None else 3
             nfeat = 0 if feats is None else feats.shape[-1]
             dense0 = _SlicedDense(
@@ -264,16 +274,21 @@ class SharedMLP(nn.Module):
             x = jnp.max(x, axis=2)
         return x
 
-    def _fused_ball_pool(self, ball, feats):
-        """Eval-only whole-scale pass: distances, rank-one-hot ball query,
+    def _fused_ball_pool(self, ball, feats, train: bool = False):
+        """Whole-scale fused pass: distances, rank-one-hot ball query,
         gathers, factored mlp0 + BN0 + ReLU, mlp1..k, max over S — one
         Pallas kernel per batch row (ops/pallas/sa_fused.py). mlp0's
         feature columns are pre-applied at the N source points here (the
         factored-path algebra); its xyz columns go in raw for the kernel's
-        f32-centered VPU term."""
+        f32-centered VPU term. train=True (BN-free scales only) routes
+        through the custom_vjp wrapper: same kernel forward, XLA-oracle
+        backward."""
         import jax.lax as lax
 
-        from ...ops.pallas.sa_fused import sa_ball_mlp_max
+        from ...ops.pallas.sa_fused import (
+            sa_ball_mlp_max,
+            sa_ball_mlp_max_train,
+        )
 
         xyz, new_xyz, radius, nsample = ball
         c0 = self.channels[0]
@@ -292,10 +307,16 @@ class SharedMLP(nn.Module):
             mul0 = jnp.ones((c0,), jnp.float32)
             add0 = jnp.zeros((c0,), jnp.float32)
         weights = self._folded_chain(1, self.channels[0])
-        out = sa_ball_mlp_max(
-            xyz, new_xyz, v, k0[:3], mul0, add0, tuple(weights),
-            float(radius), nsample, interpret=_FORCE_INTERPRET,
-        )
+        if train:  # custom_vjp: positional args only
+            out = sa_ball_mlp_max_train(
+                xyz, new_xyz, v, k0[:3], mul0, add0, tuple(weights),
+                float(radius), nsample, _FORCE_INTERPRET,
+            )
+        else:
+            out = sa_ball_mlp_max(
+                xyz, new_xyz, v, k0[:3], mul0, add0, tuple(weights),
+                float(radius), nsample, interpret=_FORCE_INTERPRET,
+            )
         return out.astype(self.dtype)
 
     def _fused_pool(self, x):

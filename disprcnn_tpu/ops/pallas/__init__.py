@@ -19,6 +19,8 @@ kernel that only ever ran in interpret mode meets real Mosaic. Tags:
   cl1      Pallas dg=1 classif-head conv (single-output-channel trunk conv)
   wconv    W-packed tower conv
   sa       whole-scale ball+gather+MLP+max
+  satrain  train-path fused SA (eval mega-kernel fwd + XLA-oracle
+           custom_vjp bwd; BN-free scales only, i.e. the RCNN stage)
   pool     grouped-MLP+max (SharedMLP._fused_pool)
   softargmin  fused upsample+softmax+soft-argmin
   fp       fused 3-NN interpolate + MLP (FPModule)

@@ -917,6 +917,70 @@ def _sa_ball_mlp_max_g(xyz, centers, v, w0x, mul0, add0, weights,
     )(*args)
 
 
+def _sa_xla_oracle(xyz, centers, v, w0x, mul0, add0, weights, radius, s):
+    """Differentiable XLA twin of the mega-kernel's math (the SharedMLP
+    factored-path arithmetic: centered f32 gather, bf16 xyz term summed
+    (t0+t1)+t2, affine+ReLU, mlp chain, max over S). Used as the
+    custom_vjp BACKWARD of sa_ball_mlp_max_train — the kernel computes the
+    identical function, so grads through this oracle are grads of the
+    fused forward up to f32 accumulation order."""
+    from ..points import ball_query, group_points
+
+    dt = v.dtype
+    idx = ball_query(centers, xyz, radius, s)  # (B, M, S) int — no grad
+    gx = group_points(xyz, idx) - centers[:, :, None, :]  # f32 centered
+    gf = group_points(v, idx)  # (B, M, S, C0)
+    c0 = v.shape[-1]
+    pos = None
+    for k in range(3):
+        t = gx[..., k : k + 1].astype(dt) * w0x[k].reshape(1, 1, 1, c0).astype(dt)
+        pos = t if pos is None else pos + t
+    x = gf.astype(dt) + pos
+    x = jnp.maximum(
+        x.astype(jnp.float32) * mul0.reshape(1, 1, 1, c0)
+        + add0.reshape(1, 1, 1, c0), 0.0
+    ).astype(dt)
+    for wgt, b in weights:
+        y = jnp.dot(x, wgt.astype(dt), preferred_element_type=jnp.float32)
+        x = jnp.maximum(y + b.reshape(1, 1, 1, -1), 0.0).astype(dt)
+    return jnp.max(x, axis=2)  # (B, M, C_last)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def sa_ball_mlp_max_train(xyz, centers, v, w0x, mul0, add0, weights,
+                          radius, s, interpret=False):
+    """Train-path fused SA: the eval mega-kernel as the FORWARD, the XLA
+    factored path's VJP as the BACKWARD (the convtrain pattern, 837bc99 —
+    VERDICT r4 ask #6: stage-3 training ran pure XLA). Only reachable when
+    BN is off (RCNN stage: use_bn=False) — train-mode BN stats are over
+    the grouped domain, which the fused kernel never materializes.
+    Multi-chip note: the CPU dryrun never reaches this (TPU-gated); the
+    kernel batches on the grid axis, which matches a data-sharded pjit."""
+    return sa_ball_mlp_max(
+        xyz, centers, v, w0x, mul0, add0, tuple(weights), radius, s,
+        interpret=interpret,
+    )
+
+
+def _samt_fwd(xyz, centers, v, w0x, mul0, add0, weights, radius, s,
+              interpret):
+    out = sa_ball_mlp_max_train(
+        xyz, centers, v, w0x, mul0, add0, weights, radius, s, interpret)
+    return out, (xyz, centers, v, w0x, mul0, add0, weights)
+
+
+def _samt_bwd(radius, s, interpret, res, ct):
+    xyz, centers, v, w0x, mul0, add0, weights = res
+    out, vjp = jax.vjp(
+        lambda *a: _sa_xla_oracle(*a, radius, s),
+        xyz, centers, v, w0x, mul0, add0, weights,
+    )
+    return vjp(ct.astype(out.dtype))
+
+
+sa_ball_mlp_max_train.defvjp(_samt_fwd, _samt_bwd)
+
+
 def sa_ball_mlp_max(
     xyz: jnp.ndarray,  # (B, N, 3) f32 source points
     centers: jnp.ndarray,  # (B, M, 3) f32 query centers
