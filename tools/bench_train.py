@@ -28,6 +28,14 @@ import numpy as np
 sys.path.insert(0, ".")
 
 REF_AGG_IMGS_PER_SEC = {"2d": 4140 * 4 / 5400.0, "pc": 62100 * 1 / 46800.0}
+# iDispNet baseline is in CROPS/s: the stage trains on 224^2 ROI crops
+# (100 epochs in ~8 h on 8 GPUs, docs/TRAIN_VAL.md:83). The crop count is
+# dataset-derived (generate_psmnet_input writes one crop per kept train-
+# split detection); no figure is published, so estimate HIGH to be
+# conservative about our ratio: 3712 train images x ~6 kept car
+# detections = ~22.3k crops -> 100 * 22272 / 28800 s = 77.3 crops/s
+# aggregate across the reference's 8 GPUs.
+REF_AGG_CROPS_PER_SEC = {"psm": 100 * 22272 / 28800.0}
 
 
 def _fill_variables(model_init_shapes, nprng):
@@ -182,6 +190,10 @@ def main():
     ap.add_argument("--stages", default="2d,psm,pc",
                     help="comma list: 2d (SMRCNN), psm (iDispNet), pc (PointRCNN)")
     ap.add_argument("--out", default="BENCH_TRAIN.json")
+    ap.add_argument("--sweep", default="",
+                    help="comma list of per-stage batch sizes to sweep "
+                         "(e.g. '1,2,4'); best imgs/s per stage is kept "
+                         "with the full table in the JSON")
     args = ap.parse_args()
 
     import jax
@@ -189,23 +201,50 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    def run_stage(stage, bs):
+        if stage == "2d":
+            return bench_2d(bs, args.hw)
+        if stage == "psm":
+            # iDispNet stage trains on ROI crops; bs images x 16 ROIs (the
+            # reference's fast.ai recipe is 12 crops per GPU)
+            return bench_3d(bs, train_psm=True, train_pc=False)
+        if stage == "pc":
+            return bench_3d(bs, train_psm=False, train_pc=True)  # rcnn.yaml bs 1
+        raise SystemExit(f"unknown stage {stage}")
+
     out = {"device": getattr(jax.devices()[0], "device_kind", "unknown"),
            "stages": {}}
+    sweep = [int(s) for s in args.sweep.split(",") if s.strip()]
     for stage in args.stages.split(","):
         print(f"===== train stage {stage} =====", flush=True)
-        if stage == "2d":
-            r = bench_2d(args.bs, args.hw)
-        elif stage == "psm":
-            # iDispNet stage trains on ROI crops; bs=1 image x 16 ROIs ~ the
-            # reference's bs-12-crops fast.ai recipe per GPU
-            r = bench_3d(1, train_psm=True, train_pc=False)
-        elif stage == "pc":
-            r = bench_3d(1, train_psm=False, train_pc=True)  # rcnn.yaml bs 1
+        if sweep:
+            table = {}
+            for bs in sweep:
+                try:
+                    table[bs] = run_stage(stage, bs)
+                except Exception as e:  # noqa: BLE001 — OOM at big bs is data
+                    table[bs] = {"error": f"{type(e).__name__}"}
+                print(f"  bs={bs}: {json.dumps(table[bs])}", flush=True)
+            ok = {b_: r_ for b_, r_ in table.items() if "error" not in r_}
+            if not ok:
+                out["stages"][stage] = {"error": "all sweep points failed"}
+                continue
+            best = max(ok, key=lambda b_: ok[b_]["imgs_per_sec_chip"])
+            r = dict(ok[best])
+            r["batch_sweep"] = {str(b_): t_.get("imgs_per_sec_chip",
+                                                t_.get("error"))
+                                for b_, t_ in table.items()}
+            r["best_bs"] = best
         else:
-            raise SystemExit(f"unknown stage {stage}")
-        ref = REF_AGG_IMGS_PER_SEC.get(stage)
-        if ref:
-            r["vs_reference_aggregate"] = round(r["imgs_per_sec_chip"] / ref, 2)
+            r = run_stage(stage, args.bs if stage == "2d" else 1)
+        # psm's reference baseline is CROPS/s (the ROI dataset); 2d/pc are
+        # whole-image recipes
+        if stage in REF_AGG_CROPS_PER_SEC:
+            r["vs_reference_aggregate"] = round(
+                r["rois_per_sec_chip"] / REF_AGG_CROPS_PER_SEC[stage], 2)
+        elif stage in REF_AGG_IMGS_PER_SEC:
+            r["vs_reference_aggregate"] = round(
+                r["imgs_per_sec_chip"] / REF_AGG_IMGS_PER_SEC[stage], 2)
         out["stages"][stage] = r
         print(stage, json.dumps(r), flush=True)
 

@@ -44,6 +44,16 @@ STEPS = [
     ("bench8", "bench.py", ["--pairs", "8", "--train", ""], {}),
     ("stage3_ref", "tools/profile_stage3.py",
      ["--pre-nms", "768", "--post-nms", "100"], {}),
+    # --- r5c: train-stage batch sweeps (judge r4 weak #6) ---
+    ("train_sweep_psm", "tools/bench_train.py",
+     ["--stages", "psm", "--sweep", "1,2,4",
+      "--out", ".cache/r5/train_sweep_psm.json"], {}),
+    ("train_sweep_pc", "tools/bench_train.py",
+     ["--stages", "pc", "--sweep", "1,2,4",
+      "--out", ".cache/r5/train_sweep_pc.json"], {}),
+    ("train_sweep_2d", "tools/bench_train.py",
+     ["--stages", "2d", "--sweep", "2,4,8",
+      "--out", ".cache/r5/train_sweep_2d.json"], {}),
 ]
 
 
