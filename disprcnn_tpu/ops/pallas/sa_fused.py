@@ -663,7 +663,17 @@ def _sa_ball_mlp_max_b(xyz, centers, v, w0x, mul0, add0, weights,
     )(*args)
 
 
-def _kernel_l(s, r2, mt, nlayers, rows, p, cw, interpret, *refs):
+def _lanes_gather16() -> bool:
+    """Gather the FEATURE table in bf16 with i16 indices instead of f32
+    with i32 (Mosaic's bitwidth-match rule allows either pairing): a
+    (C0, 128) bf16 table spans half the vregs of its f32 upcast, halving
+    the per-slot gather instruction count. Exact either way — the gather
+    selects stored bf16 values. xyz stays f32+i32 (geometry precision).
+    Default off until the on-chip A/B flips it."""
+    return os.environ.get("DISPRCNN_SA_LG16", "0") == "1"
+
+
+def _kernel_l(s, r2, mt, nlayers, rows, p, cw, interpret, g16, *refs):
     """Lane-chunked hardware-gather SA kernel (r5). Replaces the one-hot
     selection dot — 1.07 of SA0's 1.9 GFLOP/ROI at the RCNN reference
     geometry (VERDICT r4) — with `tpu.dynamic_gather`s along the LANE
@@ -708,13 +718,15 @@ def _kernel_l(s, r2, mt, nlayers, rows, p, cw, interpret, *refs):
     nch = -(-n // cw)
     npad = nch * cw - n
 
+    vdt = jnp.bfloat16 if g16 else jnp.float32
+    idt = jnp.int16 if g16 else jnp.int32
     for rr in range(rows):
         xyzc = xyz[rr].astype(jnp.float32)  # (n, 3) column access for d2
-        vvf = vT[rr].astype(jnp.float32)  # (c0, n) f32 gather table
+        vvf = vT[rr].astype(vdt)  # (c0, n) gather table (see _lanes_gather16)
         xtb = xyzT[rr].astype(jnp.float32)  # (3, n) f32 gather table
         if npad:
             vvf = jnp.concatenate(
-                [vvf, jnp.zeros((c0, npad), jnp.float32)], axis=1)
+                [vvf, jnp.zeros((c0, npad), vdt)], axis=1)
             xtb = jnp.concatenate(
                 [xtb, jnp.zeros((3, npad), jnp.float32)], axis=1)
         for t0 in range(0, m, mt):
@@ -765,7 +777,7 @@ def _kernel_l(s, r2, mt, nlayers, rows, p, cw, interpret, *refs):
                     relc = jnp.clip(rel, 0, cw - 1)
                     gfc = jnp.take_along_axis(
                         vvf[:, ci * cw : (ci + 1) * cw],
-                        jnp.broadcast_to(relc, (c0, cw)), axis=1)
+                        jnp.broadcast_to(relc.astype(idt), (c0, cw)), axis=1)
                     gxc = jnp.take_along_axis(
                         xtb[:, ci * cw : (ci + 1) * cw],
                         jnp.broadcast_to(relc, (3, cw)), axis=1)
@@ -798,7 +810,7 @@ def _kernel_l(s, r2, mt, nlayers, rows, p, cw, interpret, *refs):
 
 
 def _sa_ball_mlp_max_l(xyz, centers, v, w0x, mul0, add0, weights,
-                       radius, s, m_tile, interpret, rows=1):
+                       radius, s, m_tile, interpret, rows=1, g16=False):
     b, n, _ = xyz.shape
     m = centers.shape[1]
     c0 = v.shape[-1]
@@ -848,7 +860,7 @@ def _sa_ball_mlp_max_l(xyz, centers, v, w0x, mul0, add0, weights,
 
     outT = pl.pallas_call(
         partial(_kernel_l, s, float(radius) * float(radius), mt, nlayers,
-                rows, p, 128, interpret),
+                rows, p, 128, interpret, g16),
         grid=(b // rows,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, c_last, m), lambda i: (i, 0, 0),
@@ -1009,23 +1021,24 @@ def sa_ball_mlp_max(
         xyz, centers, v, w0x, mul0, add0, tuple(weights), radius, s,
         m_tile, interpret, _use_transposed(), _ranks_cumsum(),
         _fold_v_transpose(), _rows(), _use_gather(), _xfold(),
+        _lanes_gather16(),
     )
 
 
 @partial(jax.jit,
          static_argnames=("radius", "s", "m_tile", "interpret",
                           "transposed", "ranks_cumsum", "fold_v", "rows",
-                          "gather", "xfold"))
+                          "gather", "xfold", "g16"))
 def _sa_ball_mlp_max_jit(
     xyz, centers, v, w0x, mul0, add0, weights,
     radius: float, s: int, m_tile, interpret: bool,
     transposed: bool, ranks_cumsum: bool, fold_v: bool, rows: int = 1,
-    gather: str = "", xfold: bool = False,
+    gather: str = "", xfold: bool = False, g16: bool = False,
 ) -> jnp.ndarray:
     if gather == "lanes":
         return _sa_ball_mlp_max_l(
             xyz, centers, v, w0x, mul0, add0, tuple(weights),
-            radius, s, m_tile or 128, interpret, rows,
+            radius, s, m_tile or 128, interpret, rows, g16,
         )
     if gather:
         n = xyz.shape[1]

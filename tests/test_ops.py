@@ -524,10 +524,15 @@ def test_fused_ball_pool_kernel_bisect(monkeypatch, rng):
         args = (xyz, centers, v, w0x, mul0, add0, ws, 1.2, s)
         monkeypatch.delenv("DISPRCNN_SA_GATHER", raising=False)
         want = sa_fused.sa_ball_mlp_max(*args, interpret=True)
-        for mode, rows in (("bisect", 1), ("bisect", 2), ("onehot", 1),
-                           ("lanes", 1), ("lanes", 2)):
+        for mode, rows, extra in (
+                ("bisect", 1, {}), ("bisect", 2, {}), ("onehot", 1, {}),
+                ("lanes", 1, {}), ("lanes", 2, {}),
+                # bf16-table/i16-index gather width (halves gather vregs)
+                ("lanes", 1, {"DISPRCNN_SA_LG16": "1"})):
             monkeypatch.setenv("DISPRCNN_SA_GATHER", mode)
             monkeypatch.setenv("DISPRCNN_SA_ROWS", str(rows))
+            for ek, ev in extra.items():
+                monkeypatch.setenv(ek, ev)
             ran.clear()
             got = sa_fused.sa_ball_mlp_max(*args, interpret=True)
             assert ran == [mode], (
@@ -538,6 +543,8 @@ def test_fused_ball_pool_kernel_bisect(monkeypatch, rng):
                 np.asarray(got, np.float32), np.asarray(want, np.float32),
                 err_msg=f"mode={mode} rows={rows} n={n}")
             monkeypatch.delenv("DISPRCNN_SA_ROWS", raising=False)
+            for ek in extra:
+                monkeypatch.delenv(ek, raising=False)
 
 
 def test_topk_threshold_matches_lax_topk(rng):
