@@ -109,7 +109,12 @@ def pool_rcnn_inputs(
     depth = jnp.linalg.norm(xyz, axis=-1) / 70.0 - 0.5
     feats = jnp.concatenate([seg_mask[..., None], depth[..., None], rpn_feats], axis=-1)
     grown = rois.at[..., 3:6].add(pool_extra_width * 2).at[..., 1].add(pool_extra_width)
-    pooled, empty = roipool3d(xyz, feats, grown, sampled_pts_num=num_points)
+    # seg (0/1) is bf16-exact; rpn features are exact when stored bf16;
+    # depth is a fresh f32 norm -> always 3-split in the fused gather
+    f32ch = ((1,) if rpn_feats.dtype == jnp.bfloat16
+             else (1,) + tuple(range(2, feats.shape[-1])))
+    pooled, empty = roipool3d(xyz, feats, grown, sampled_pts_num=num_points,
+                              f32_feat_channels=f32ch)
     # canonical transform about the UN-enlarged roi
     center = rois[..., 0:3]
     p_xyz = pooled[..., 0:3] - center[:, :, None, :]
@@ -347,7 +352,10 @@ def prepare_rcnn_train_inputs(
         [seg_mask[..., None], depth[..., None], rpn_feats], axis=-1
     )
     grown = s_rois.at[..., 3:6].add(pool_extra_width * 2).at[..., 1].add(pool_extra_width)
-    pooled, empty = roipool3d(xyz, feats, grown, sampled_pts_num=num_points)
+    f32ch = ((1,) if rpn_feats.dtype == jnp.bfloat16
+             else (1,) + tuple(range(2, feats.shape[-1])))
+    pooled, empty = roipool3d(xyz, feats, grown, sampled_pts_num=num_points,
+                              f32_feat_channels=f32ch)
     p_xyz = pooled[..., 0:3]
     p_feats = pooled[..., 3:]
 

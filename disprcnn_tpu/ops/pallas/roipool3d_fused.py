@@ -21,9 +21,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(s, max_dis, s_tile, rboxes, *refs):
+def _kernel(s, max_dis, s_tile, rboxes, sp, *refs):
+    """`sp` (static): vals-channel indices gathered through an exact
+    hi/mid/lo bf16 3-split; every other channel's stored value is already
+    exactly bf16-representable (caller knowledge: bf16 feature maps, 0/1
+    masks), so the big per-slot gather runs as ONE bf16 one-hot dot at 4x
+    the f32 MXU rate (r5: the f32 dot was 104 MFLOP/box at quarter rate —
+    roipool3d was 5.97 ms of the reference-budget stage 3). Bit-identical
+    to the f32 dot: a one-hot row selects exactly one term, each 8-bit
+    mantissa slice is exact, and (hi+mid)+lo reconstructs the f32 value
+    exactly (same argument as sa_fused._kernel_t's xyz split)."""
     pts, feats, box, out = refs
     n = pts.shape[1]
+    cv = 3 + feats.shape[-1]
+    ns = len(sp)
 
     p = pts[0].astype(jnp.float32)  # (N, 3)
     x, y, z = p[:, 0].reshape(1, n), p[:, 1].reshape(1, n), p[:, 2].reshape(1, n)
@@ -32,6 +43,29 @@ def _kernel(s, max_dis, s_tile, rboxes, *refs):
         <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     ).astype(jnp.float32)
     vals = jnp.concatenate([p, feats[0].astype(jnp.float32)], axis=-1)
+    # ordered runs of the output channel space: (is_split, start, stop)
+    runs = []
+    for c in range(cv):
+        is_sp = c in sp
+        if runs and runs[-1][0] == is_sp and runs[-1][2] == c:
+            runs[-1] = (is_sp, runs[-1][1], c + 1)
+        else:
+            runs.append((is_sp, c, c + 1))
+    blocks = []
+    if ns:
+        vsp = jnp.concatenate(
+            [vals[:, c : c + 1] for c in sp], axis=1)  # (N, S), sp sorted
+        hi = vsp.astype(jnp.bfloat16)
+        r1 = vsp - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        blocks += [hi, mid, lo]
+    ex_runs = [(a, b) for is_sp, a, b in runs if not is_sp]
+    if ex_runs:
+        blocks.append(jnp.concatenate(
+            [vals[:, a:b] for a, b in ex_runs], axis=1
+        ).astype(jnp.bfloat16))  # (N, E) — exact bf16 values
+    valsb = jnp.concatenate(blocks, axis=1)  # (N, 3S+E)
 
     # rboxes boxes per grid step: the per-step work of ONE box (a few
     # hundred-kFLOP dots) is far below the grid-step overhead
@@ -72,11 +106,25 @@ def _kernel(s, max_dis, s_tile, rboxes, *refs):
             cyc = jnp.where(cyc < 0.0, cyc + cnt, cyc)
             tgt = jnp.where(slots < cnt, slots, cyc)
             onehot = (rank == tgt) * mask  # (st, N), empty box -> all 0
-            g = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
-            out[r, t0 : t0 + st] = g.astype(out.dtype)
+            g = jnp.dot(onehot.astype(jnp.bfloat16), valsb,
+                        preferred_element_type=jnp.float32)  # (st, 3S+E)
+            comb = (g[:, :ns] + g[:, ns : 2 * ns]) + g[:, 2 * ns : 3 * ns]
+            parts = []
+            isp = iex = 0
+            for is_sp, a, b in runs:
+                w_ = b - a
+                if is_sp:
+                    parts.append(comb[:, isp : isp + w_])
+                    isp += w_
+                else:
+                    parts.append(g[:, 3 * ns + iex : 3 * ns + iex + w_])
+                    iex += w_
+            out[r, t0 : t0 + st] = jnp.concatenate(
+                parts, axis=1).astype(out.dtype)
 
 
-@partial(jax.jit, static_argnames=("sampled_pts_num", "max_dis", "interpret"))
+@partial(jax.jit, static_argnames=("sampled_pts_num", "max_dis", "interpret",
+                                   "f32_channels"))
 def roipool3d_fused(
     pts: jnp.ndarray,  # (B, N, 3) f32
     feats: jnp.ndarray,  # (B, N, C)
@@ -84,14 +132,26 @@ def roipool3d_fused(
     sampled_pts_num: int = 512,
     max_dis: float = 10.0,
     interpret: bool = False,
+    f32_channels=None,
 ):
     """-> pooled (B, M, S, 3 + C) f32, empty (B, M) bool. Matches
     ops/roipool3d.roipool3d exactly up to the hi/lo gather's ~2^-17
-    rounding (this kernel gathers in f32)."""
+    rounding (this kernel reconstructs exact f32 values from a bf16
+    hi/mid/lo split — see _kernel).
+
+    f32_channels: static tuple of FEATS channel indices whose values need
+    the exact 3-split (None = all of them — always safe). Channels NOT
+    listed must hold exactly-bf16-representable values (bf16 feature
+    maps, 0/1 masks) — they ride the bf16 gather dot as single rows,
+    keeping the dot near the minimal 3+C lane count. xyz is always
+    split."""
     bsz, n, _ = pts.shape
     m = boxes3d.shape[1]
     s = sampled_pts_num
     cf = feats.shape[-1]
+    if f32_channels is None:
+        f32_channels = tuple(range(cf))
+    sp = tuple(range(3)) + tuple(sorted(3 + c for c in f32_channels))
     s_tile = min(s, 256)
     # Mosaic legality for the (1, rboxes, 7) box block: the second-to-last
     # dim must be 8-divisible or equal the overall M. Padding M up to a
@@ -105,7 +165,7 @@ def roipool3d_fused(
 
     grid = (bsz * gsteps,)
     pooled = pl.pallas_call(
-        partial(_kernel, s, float(max_dis), s_tile, rboxes),
+        partial(_kernel, s, float(max_dis), s_tile, rboxes, sp),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, n, 3), lambda i: (i // gsteps, 0, 0),

@@ -82,8 +82,14 @@ def roipool3d(
     feats: jnp.ndarray,  # (B, N, C)
     boxes3d: jnp.ndarray,  # (B, M, 7)
     sampled_pts_num: int = 512,
+    f32_feat_channels=None,
 ):
-    """-> pooled (B, M, S, 3 + C), empty_flag (B, M) bool."""
+    """-> pooled (B, M, S, 3 + C), empty_flag (B, M) bool.
+
+    f32_feat_channels: static tuple of feats channels that are NOT exactly
+    bf16-representable (None = all) — lets the fused kernel keep its
+    one-hot gather dot in bf16 at the minimal lane count (exact either
+    way; see ops/pallas/roipool3d_fused._kernel)."""
 
     from .pallas import kernel_disabled
 
@@ -95,7 +101,8 @@ def roipool3d(
         # the hi/lo gather below (full f32)
         from .pallas.roipool3d_fused import roipool3d_fused
 
-        return roipool3d_fused(pts, feats, boxes3d, sampled_pts_num)
+        return roipool3d_fused(pts, feats, boxes3d, sampled_pts_num,
+                               f32_channels=f32_feat_channels)
     mask = jax.vmap(pts_in_boxes3d)(pts, boxes3d)  # (B, M, N)
     idx, cnt = _first_k_cycled_rows(mask.reshape(bsz * m, n), sampled_pts_num)
     idx = idx.reshape(bsz, m, sampled_pts_num)

@@ -599,6 +599,22 @@ def test_roipool3d_fused_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(got_e), np.asarray(want_e))
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
                                rtol=1e-5, atol=1e-5)
+    # r5 bf16-fold gather: channels declared bf16-exact ride the dot as
+    # single rows; declared-f32 channels get the hi/mid/lo 3-split. With
+    # channels 0/2/4 actually holding bf16-exact values the result must be
+    # BIT-identical to the all-split default (both reconstruct exactly).
+    feats_mix = feats.at[:, :, 0].set(
+        feats[:, :, 0].astype(jnp.bfloat16).astype(jnp.float32))
+    feats_mix = feats_mix.at[:, :, 2].set(
+        (feats[:, :, 2] > 0).astype(jnp.float32))
+    feats_mix = feats_mix.at[:, :, 4].set(
+        feats[:, :, 4].astype(jnp.bfloat16).astype(jnp.float32))
+    all_p, all_e = roipool3d_fused(pts, feats_mix, boxes8, sampled_pts_num=s,
+                                   interpret=True)
+    mix_p, mix_e = roipool3d_fused(pts, feats_mix, boxes8, sampled_pts_num=s,
+                                   interpret=True, f32_channels=(1, 3))
+    np.testing.assert_array_equal(np.asarray(mix_e), np.asarray(all_e))
+    np.testing.assert_array_equal(np.asarray(mix_p), np.asarray(all_p))
 
 
 def test_fp_fused_matches_xla(monkeypatch, rng):
