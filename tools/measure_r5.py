@@ -30,6 +30,7 @@ class _StepExit(BaseException):
 
 STEPS = [
     # --- r5a: the lanes kernel meets real Mosaic ---
+    ("probe_lanes", "tools/probe_lanes_gather.py", [], {}),
     ("smoke_sa", "tools/kernel_smoke.py",
      ["--skip", "conv3d,s2,deconv,cl1,cv,wconv,fp,roipool,softargmin,topk"],
      {}),
@@ -44,6 +45,7 @@ STEPS = [
     ("bench8", "bench.py", ["--pairs", "8", "--train", ""], {}),
     ("stage3_ref", "tools/profile_stage3.py",
      ["--pre-nms", "768", "--post-nms", "100"], {}),
+    ("rcnn_trace", "tools/profile_rcnn_trace.py", ["--rois", "1600"], {}),
     # --- r5c: train-stage batch sweeps (judge r4 weak #6) ---
     ("train_sweep_psm", "tools/bench_train.py",
      ["--stages", "psm", "--sweep", "1,2,4",
