@@ -46,6 +46,8 @@ STEPS = [
     ("stage3_ref", "tools/profile_stage3.py",
      ["--pre-nms", "768", "--post-nms", "100"], {}),
     ("rcnn_trace", "tools/profile_rcnn_trace.py", ["--rois", "1600"], {}),
+    ("profile_2d", "tools/profile_2d.py", [], {}),
+    ("psm_segments", "tools/profile_psmnet.py", ["--segments"], {}),
     # --- r5c: train-stage batch sweeps (judge r4 weak #6) ---
     ("train_sweep_psm", "tools/bench_train.py",
      ["--stages", "psm", "--sweep", "1,2,4",

@@ -66,6 +66,30 @@ def run(name, rows, lanes, tdt, idt, idx_rows=None, out_lanes=None):
         print(f"{name}: FAILED — {msg}", flush=True)
 
 
+def probe_vec_reshape():
+    """(n,1) -> (1,n) vector reshape (sublanes -> lanes): needed by a
+    bisect-lanes search variant (pos columns -> idx rows). The row-major
+    _kernel uses this pattern but may never have met real Mosaic."""
+    v = rng.normal(size=(128, 1)).astype(np.float32)
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...].reshape(1, 128) * 2.0
+
+    try:
+        got = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        )(jnp.asarray(v))
+        ok = np.array_equal(np.asarray(got), (v * 2).reshape(1, 128))
+        print(f"f vec reshape (128,1)->(1,128): RAN, "
+              f"parity={'EXACT' if ok else 'WRONG'}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"f vec reshape: FAILED — {str(e).splitlines()[0][:180]}",
+              flush=True)
+
+
 if __name__ == "__main__":
     run("a f32/i32 (128,128)", 128, 128, jnp.float32, jnp.int32)
     run("b f32/i32 (8,128)", 8, 128, jnp.float32, jnp.int32)
@@ -73,6 +97,7 @@ if __name__ == "__main__":
         idx_rows=1)
     run("d bf16/i16 (128,128)", 128, 128, jnp.bfloat16, jnp.int16)
     run("e f32/i32 (128,256) 2-vreg", 128, 256, jnp.float32, jnp.int32)
+    probe_vec_reshape()
     # timing probe: 64 chained gathers of form (a) in one kernel — rough
     # per-vreg-gather cost for the SA kernel's budget math
     import time
