@@ -663,6 +663,19 @@ def _sa_ball_mlp_max_b(xyz, centers, v, w0x, mul0, add0, weights,
     )(*args)
 
 
+def _lanes_search() -> str:
+    """Slot-index extraction mode for the lanes kernel: "sum" (default) =
+    one masked compare+reduce per slot (s passes over the (n, mt) prefix
+    counts, ~8.2K vreg-ops/ROI at SA0); "bisect" = ceil(log2 n)-step
+    binary search on the LANE-oriented prefix counts via the same chunked
+    dynamic_gather (~2.3K vreg-ops incl. the 128-slot pad) plus s
+    (mt,1)->(1,mt) vector reshapes. Bit-identical; A/B on-chip."""
+    m = os.environ.get("DISPRCNN_SA_LSEARCH", "sum")
+    if m not in ("sum", "bisect"):
+        raise ValueError(f"DISPRCNN_SA_LSEARCH={m!r}")
+    return m
+
+
 def _lanes_gather16() -> bool:
     """Gather the FEATURE table in bf16 with i16 indices instead of f32
     with i32 (Mosaic's bitwidth-match rule allows either pairing): a
@@ -673,7 +686,8 @@ def _lanes_gather16() -> bool:
     return os.environ.get("DISPRCNN_SA_LG16", "0") == "1"
 
 
-def _kernel_l(s, r2, mt, nlayers, rows, p, cw, interpret, g16, *refs):
+def _kernel_l(s, r2, mt, nlayers, rows, p, cw, interpret, g16, search,
+              *refs):
     """Lane-chunked hardware-gather SA kernel (r5). Replaces the one-hot
     selection dot — 1.07 of SA0's 1.9 GFLOP/ROI at the RCNN reference
     geometry (VERDICT r4) — with `tpu.dynamic_gather`s along the LANE
@@ -701,9 +715,9 @@ def _kernel_l(s, r2, mt, nlayers, rows, p, cw, interpret, g16, *refs):
       a lane-sliced log tree, running max across packs.
     Every bf16 association downstream of the gather is copied from
     _kernel_t, so outputs are bit-identical to the shipped kernel."""
-    xyz, ctrT, vT, xyzT, w0xT, mul0, add0 = refs[:7]
-    wb = refs[7 : 7 + 2 * nlayers]
-    out = refs[7 + 2 * nlayers]
+    xyz, ctrT, ctrN, vT, xyzT, w0xT, mul0, add0 = refs[:8]
+    wb = refs[8 : 8 + 2 * nlayers]
+    out = refs[8 + 2 * nlayers]
 
     def dotf(a, b):
         # interpret mode: XLA:CPU's DotThunk lacks BF16xBF16=F32 for some
@@ -731,38 +745,90 @@ def _kernel_l(s, r2, mt, nlayers, rows, p, cw, interpret, g16, *refs):
                 [xtb, jnp.zeros((3, npad), jnp.float32)], axis=1)
         for t0 in range(0, m, mt):
             cT = ctrT[rr][:, t0 : t0 + mt].astype(jnp.float32)  # (3, mt)
-            d2 = jnp.zeros((n, mt), jnp.float32)
-            for k in range(3):
-                diff = xyzc[:, k : k + 1] - cT[k : k + 1, :]
-                d2 = d2 + diff * diff
-            mask = d2 < r2  # strict, as the CUDA kernel
-            maskf = mask.astype(jnp.float32)
-            # inclusive prefix count: Hillis-Steele log-shift scan over the
-            # sublane (N) axis — exact small-integer f32 counts (_kernel_t)
-            incl = maskf
-            sh = 1
-            while sh < n:
-                incl = incl + jnp.concatenate(
-                    [jnp.zeros((sh, mt), jnp.float32), incl[: n - sh]],
-                    axis=0,
-                )
-                sh *= 2
-            cnt = incl[n - 1 : n, :]  # (1, mt) exact counts
-            # slot q's source = lower_bound(incl, q+1) = #{j: incl[j] <= q}
-            # (incl steps by 0/1, so the first j with incl[j] == q+1 is the
-            # rank-q ball point — same row the one-hot selected); partial
-            # ball -> rank-0 point (pos0), empty ball -> point 0
-            pos0 = None
-            posr = []
-            for q in range(s):
-                pq = jnp.sum((incl <= jnp.float32(q)).astype(jnp.float32),
-                             axis=0, keepdims=True)  # (1, mt)
-                if q == 0:
-                    pos0 = pq
-                pf = jnp.where(jnp.float32(q) < cnt, pq,
-                               jnp.where(cnt > 0.0, pos0, 0.0))
-                posr.append(
-                    jnp.minimum(pf, jnp.float32(n - 1)).astype(jnp.int32))
+            if search == "bisect":
+                # (mt, n) orientation: d2/cumsum over LANES, then a
+                # lower_bound binary search probed with the same chunked
+                # lane-gather as the feature phase (see _lanes_search)
+                cN = ctrN[rr, t0 : t0 + mt].astype(jnp.float32)  # (mt, 3)
+                xtb0 = xtb[:, : n] if npad else xtb  # (3, n) unpadded
+                d2 = jnp.zeros((mt, n), jnp.float32)
+                for k in range(3):
+                    diff = cN[:, k : k + 1] - xtb0[k : k + 1, :]
+                    d2 = d2 + diff * diff
+                maskf = (d2 < r2).astype(jnp.float32)  # (mt, n)
+                incl = maskf
+                sh = 1
+                while sh < n:
+                    incl = incl + jnp.concatenate(
+                        [jnp.zeros((mt, sh), jnp.float32),
+                         incl[:, : n - sh]], axis=1)
+                    sh *= 2
+                cnt_col = incl[:, n - 1 : n]  # (mt, 1)
+                if npad:
+                    incl = jnp.concatenate(
+                        [incl, jnp.zeros((mt, npad), jnp.float32)], axis=1)
+                sp_ = cw  # slots padded to one gather-tile of lanes
+                tq = (jax.lax.broadcasted_iota(jnp.int32, (1, sp_), 1)
+                      + 1).astype(jnp.float32)
+                pos = jnp.zeros((mt, sp_), jnp.int32)
+                kk = 1
+                while kk < n:
+                    kk *= 2
+                while kk >= 1:
+                    cand = jnp.minimum(pos + (kk - 1), n - 1)
+                    val = jnp.zeros((mt, sp_), jnp.float32)
+                    for ci in range(nch):
+                        rel = cand - ci * cw
+                        inb = (rel >= 0) & (rel < cw)
+                        relc = jnp.clip(rel, 0, cw - 1)
+                        g = jnp.take_along_axis(
+                            incl[:, ci * cw : (ci + 1) * cw], relc, axis=1)
+                        val = jnp.where(inb, g, val)
+                    step_ok = (pos + kk <= n) & (val < tq)
+                    pos = jnp.where(step_ok, pos + kk, pos)
+                    kk //= 2
+                valid_q = tq <= cnt_col  # (mt, sp_)
+                posf = jnp.where(valid_q, pos,
+                                 jnp.where(cnt_col > 0.0, pos[:, 0:1], 0))
+                posf = jnp.minimum(posf, n - 1)
+                posr = [posf[:, q : q + 1].reshape(1, mt)
+                        for q in range(s)]
+            else:
+                d2 = jnp.zeros((n, mt), jnp.float32)
+                for k in range(3):
+                    diff = xyzc[:, k : k + 1] - cT[k : k + 1, :]
+                    d2 = d2 + diff * diff
+                mask = d2 < r2  # strict, as the CUDA kernel
+                maskf = mask.astype(jnp.float32)
+                # inclusive prefix count: Hillis-Steele log-shift scan over
+                # the sublane (N) axis — exact small-integer f32 counts
+                incl = maskf
+                sh = 1
+                while sh < n:
+                    incl = incl + jnp.concatenate(
+                        [jnp.zeros((sh, mt), jnp.float32), incl[: n - sh]],
+                        axis=0,
+                    )
+                    sh *= 2
+                cnt = incl[n - 1 : n, :]  # (1, mt) exact counts
+                # slot q's source = lower_bound(incl, q+1) =
+                # #{j: incl[j] <= q} (incl steps by 0/1, so the first j
+                # with incl[j] == q+1 is the rank-q ball point — same row
+                # the one-hot selected); partial ball -> rank-0 point,
+                # empty ball -> point 0
+                pos0 = None
+                posr = []
+                for q in range(s):
+                    pq = jnp.sum(
+                        (incl <= jnp.float32(q)).astype(jnp.float32),
+                        axis=0, keepdims=True)  # (1, mt)
+                    if q == 0:
+                        pos0 = pq
+                    pf = jnp.where(jnp.float32(q) < cnt, pq,
+                                   jnp.where(cnt > 0.0, pos0, 0.0))
+                    posr.append(
+                        jnp.minimum(pf, jnp.float32(n - 1))
+                        .astype(jnp.int32))
             acc = None
             for q0 in range(0, s, p):
                 qs = [min(q0 + j, s - 1) for j in range(p)]
@@ -810,7 +876,8 @@ def _kernel_l(s, r2, mt, nlayers, rows, p, cw, interpret, g16, *refs):
 
 
 def _sa_ball_mlp_max_l(xyz, centers, v, w0x, mul0, add0, weights,
-                       radius, s, m_tile, interpret, rows=1, g16=False):
+                       radius, s, m_tile, interpret, rows=1, g16=False,
+                       search="sum"):
     b, n, _ = xyz.shape
     m = centers.shape[1]
     c0 = v.shape[-1]
@@ -832,6 +899,8 @@ def _sa_ball_mlp_max_l(xyz, centers, v, w0x, mul0, add0, weights,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rows, 3, m), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, m, 3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((rows, c0, n), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rows, 3, n), lambda i: (i, 0, 0),
@@ -843,6 +912,7 @@ def _sa_ball_mlp_max_l(xyz, centers, v, w0x, mul0, add0, weights,
     args = [
         xyz,
         jnp.swapaxes(centers, 1, 2),
+        centers,
         jnp.swapaxes(v.astype(jnp.bfloat16), 1, 2),
         jnp.swapaxes(xyz, 1, 2).astype(jnp.float32),
         jnp.swapaxes(w0x, 0, 1),
@@ -860,7 +930,7 @@ def _sa_ball_mlp_max_l(xyz, centers, v, w0x, mul0, add0, weights,
 
     outT = pl.pallas_call(
         partial(_kernel_l, s, float(radius) * float(radius), mt, nlayers,
-                rows, p, 128, interpret, g16),
+                rows, p, 128, interpret, g16, search),
         grid=(b // rows,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, c_last, m), lambda i: (i, 0, 0),
@@ -1021,24 +1091,25 @@ def sa_ball_mlp_max(
         xyz, centers, v, w0x, mul0, add0, tuple(weights), radius, s,
         m_tile, interpret, _use_transposed(), _ranks_cumsum(),
         _fold_v_transpose(), _rows(), _use_gather(), _xfold(),
-        _lanes_gather16(),
+        _lanes_gather16(), _lanes_search(),
     )
 
 
 @partial(jax.jit,
          static_argnames=("radius", "s", "m_tile", "interpret",
                           "transposed", "ranks_cumsum", "fold_v", "rows",
-                          "gather", "xfold", "g16"))
+                          "gather", "xfold", "g16", "lsearch"))
 def _sa_ball_mlp_max_jit(
     xyz, centers, v, w0x, mul0, add0, weights,
     radius: float, s: int, m_tile, interpret: bool,
     transposed: bool, ranks_cumsum: bool, fold_v: bool, rows: int = 1,
     gather: str = "", xfold: bool = False, g16: bool = False,
+    lsearch: str = "sum",
 ) -> jnp.ndarray:
     if gather == "lanes":
         return _sa_ball_mlp_max_l(
             xyz, centers, v, w0x, mul0, add0, tuple(weights),
-            radius, s, m_tile or 128, interpret, rows, g16,
+            radius, s, m_tile or 128, interpret, rows, g16, lsearch,
         )
     if gather:
         n = xyz.shape[1]

@@ -528,7 +528,11 @@ def test_fused_ball_pool_kernel_bisect(monkeypatch, rng):
                 ("bisect", 1, {}), ("bisect", 2, {}), ("onehot", 1, {}),
                 ("lanes", 1, {}), ("lanes", 2, {}),
                 # bf16-table/i16-index gather width (halves gather vregs)
-                ("lanes", 1, {"DISPRCNN_SA_LG16": "1"})):
+                ("lanes", 1, {"DISPRCNN_SA_LG16": "1"}),
+                # lane-oriented binary-search slot indices
+                ("lanes", 1, {"DISPRCNN_SA_LSEARCH": "bisect"}),
+                ("lanes", 2, {"DISPRCNN_SA_LSEARCH": "bisect",
+                              "DISPRCNN_SA_LG16": "1"})):
             monkeypatch.setenv("DISPRCNN_SA_GATHER", mode)
             monkeypatch.setenv("DISPRCNN_SA_ROWS", str(rows))
             for ek, ev in extra.items():

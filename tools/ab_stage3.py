@@ -70,6 +70,13 @@ CONFIGS = {
     "lanes": ("64", "", {"DISPRCNN_SA_GATHER": "lanes"}),
     "lanes+rows4": ("64", "", {"DISPRCNN_SA_GATHER": "lanes",
                                "DISPRCNN_SA_ROWS": "4"}),
+    "lanes+g16": ("64", "", {"DISPRCNN_SA_GATHER": "lanes",
+                             "DISPRCNN_SA_LG16": "1"}),
+    "lanes+bisect": ("64", "", {"DISPRCNN_SA_GATHER": "lanes",
+                                "DISPRCNN_SA_LSEARCH": "bisect"}),
+    "lanes+bisect+g16": ("64", "", {"DISPRCNN_SA_GATHER": "lanes",
+                                    "DISPRCNN_SA_LSEARCH": "bisect",
+                                    "DISPRCNN_SA_LG16": "1"}),
 }
 
 

@@ -35,11 +35,11 @@ STEPS = [
      ["--skip", "conv3d,s2,deconv,cl1,cv,wconv,fp,roipool,softargmin,topk"],
      {}),
     ("ab_s3_head", "tools/ab_stage3.py",
-     ["--configs", "default(c0=64),lanes,lanes+rows4",
-      "--post-nms", "16"], {}),
+     ["--configs", "default(c0=64),lanes,lanes+g16,lanes+bisect,"
+      "lanes+bisect+g16", "--post-nms", "16"], {}),
     ("ab_s3_ref", "tools/ab_stage3.py",
-     ["--configs", "default(c0=64),lanes,lanes+rows4",
-      "--post-nms", "100"], {}),
+     ["--configs", "default(c0=64),lanes,lanes+g16,lanes+bisect,"
+      "lanes+bisect+g16", "--post-nms", "100"], {}),
     # --- r5b: batching + profiles (run with --only after r5a's verdict) ---
     ("bench16", "bench.py", ["--pairs", "16", "--train", ""], {}),
     ("bench8", "bench.py", ["--pairs", "8", "--train", ""], {}),
