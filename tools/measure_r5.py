@@ -31,8 +31,9 @@ class _StepExit(BaseException):
 STEPS = [
     # --- r5a: the lanes kernel meets real Mosaic ---
     ("probe_lanes", "tools/probe_lanes_gather.py", [], {}),
+    # smoke keeps sa (lanes variants) AND roipool (r5 bf16-fold gather)
     ("smoke_sa", "tools/kernel_smoke.py",
-     ["--skip", "conv3d,s2,deconv,cl1,cv,wconv,fp,roipool,softargmin,topk"],
+     ["--skip", "conv3d,s2,deconv,cl1,cv,wconv,fp,softargmin,topk"],
      {}),
     ("ab_s3_head", "tools/ab_stage3.py",
      ["--configs", "default(c0=64),lanes,lanes+g16,lanes+bisect,"
