@@ -35,6 +35,7 @@ STEPS = [
     ("smoke_sa", "tools/kernel_smoke.py",
      ["--skip", "conv3d,s2,deconv,cl1,cv,wconv,fp,softargmin,topk"],
      {}),
+    ("ab_sa_kernel", "tools/ab_sa_kernel.py", [], {}),
     ("ab_s3_head", "tools/ab_stage3.py",
      ["--configs", "default(c0=64),lanes,lanes+g16,lanes+bisect,"
       "lanes+bisect+g16", "--post-nms", "16"], {}),
