@@ -21,19 +21,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(s, max_dis, s_tile, rboxes, sp, *refs):
-    """`sp` (static): vals-channel indices gathered through an exact
-    hi/mid/lo bf16 3-split; every other channel's stored value is already
-    exactly bf16-representable (caller knowledge: bf16 feature maps, 0/1
-    masks), so the big per-slot gather runs as ONE bf16 one-hot dot at 4x
-    the f32 MXU rate (r5: the f32 dot was 104 MFLOP/box at quarter rate —
-    roipool3d was 5.97 ms of the reference-budget stage 3). Bit-identical
-    to the f32 dot: a one-hot row selects exactly one term, each 8-bit
-    mantissa slice is exact, and (hi+mid)+lo reconstructs the f32 value
-    exactly (same argument as sa_fused._kernel_t's xyz split)."""
-    pts, feats, box, out = refs
+def _split_runs(cv, sp):
+    """Ordered runs of the output channel space: (is_split, start, stop)."""
+    runs = []
+    for c in range(cv):
+        is_sp = c in sp
+        if runs and runs[-1][0] == is_sp and runs[-1][2] == c:
+            runs[-1] = (is_sp, runs[-1][1], c + 1)
+        else:
+            runs.append((is_sp, c, c + 1))
+    return runs
+
+
+def _kernel(s, max_dis, s_tile, rboxes, cv, sp, *refs):
+    """`sp` (static): vals-channel indices that arrive as an exact
+    hi/mid/lo bf16 3-split inside `valsb`; every other channel's stored
+    value is already exactly bf16-representable (caller knowledge: bf16
+    feature maps, 0/1 masks), so the big per-slot gather runs as ONE bf16
+    one-hot dot at 4x the f32 MXU rate (r5: the f32 dot was 104 MFLOP/box
+    at quarter rate — roipool3d was 5.97 ms of the reference-budget stage
+    3). Bit-identical to the f32 dot: a one-hot row selects exactly one
+    term, each 8-bit mantissa slice is exact, and (hi+mid)+lo
+    reconstructs the f32 value exactly. The split is computed in XLA
+    (roipool3d_fused wrapper), NOT here: computing it in-kernel measured
+    3.9e-3 of parity error on real Mosaic — the VPU's excess-precision
+    fusion elides the bf16 round-trips, so hi absorbs the full value and
+    mid/lo collapse to zero until the single store rounds it (r5a queue,
+    2026-08-20). bf16 kernel INPUTS are storage — nothing to elide."""
+    pts, valsb, box, out = refs
     n = pts.shape[1]
-    cv = 3 + feats.shape[-1]
     ns = len(sp)
 
     p = pts[0].astype(jnp.float32)  # (N, 3)
@@ -42,30 +58,8 @@ def _kernel(s, max_dis, s_tile, rboxes, sp, *refs):
         jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     ).astype(jnp.float32)
-    vals = jnp.concatenate([p, feats[0].astype(jnp.float32)], axis=-1)
-    # ordered runs of the output channel space: (is_split, start, stop)
-    runs = []
-    for c in range(cv):
-        is_sp = c in sp
-        if runs and runs[-1][0] == is_sp and runs[-1][2] == c:
-            runs[-1] = (is_sp, runs[-1][1], c + 1)
-        else:
-            runs.append((is_sp, c, c + 1))
-    blocks = []
-    if ns:
-        vsp = jnp.concatenate(
-            [vals[:, c : c + 1] for c in sp], axis=1)  # (N, S), sp sorted
-        hi = vsp.astype(jnp.bfloat16)
-        r1 = vsp - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        blocks += [hi, mid, lo]
-    ex_runs = [(a, b) for is_sp, a, b in runs if not is_sp]
-    if ex_runs:
-        blocks.append(jnp.concatenate(
-            [vals[:, a:b] for a, b in ex_runs], axis=1
-        ).astype(jnp.bfloat16))  # (N, E) — exact bf16 values
-    valsb = jnp.concatenate(blocks, axis=1)  # (N, 3S+E)
+    runs = _split_runs(cv, sp)
+    vb = valsb[0]  # (N, 3S+E) bf16: [hi | mid | lo | exact-channel runs]
 
     # rboxes boxes per grid step: the per-step work of ONE box (a few
     # hundred-kFLOP dots) is far below the grid-step overhead
@@ -106,7 +100,7 @@ def _kernel(s, max_dis, s_tile, rboxes, sp, *refs):
             cyc = jnp.where(cyc < 0.0, cyc + cnt, cyc)
             tgt = jnp.where(slots < cnt, slots, cyc)
             onehot = (rank == tgt) * mask  # (st, N), empty box -> all 0
-            g = jnp.dot(onehot.astype(jnp.bfloat16), valsb,
+            g = jnp.dot(onehot.astype(jnp.bfloat16), vb,
                         preferred_element_type=jnp.float32)  # (st, 3S+E)
             comb = (g[:, :ns] + g[:, ns : 2 * ns]) + g[:, 2 * ns : 3 * ns]
             parts = []
@@ -152,6 +146,31 @@ def roipool3d_fused(
     if f32_channels is None:
         f32_channels = tuple(range(cf))
     sp = tuple(range(3)) + tuple(sorted(3 + c for c in f32_channels))
+    cv = 3 + cf
+    ns = len(sp)
+    # hi/mid/lo split built HERE in XLA (in-kernel it measured 3.9e-3 of
+    # on-chip parity error — Mosaic's excess-precision fusion elides the
+    # bf16 round-trips; see _kernel docstring). The bf16 blocks cross the
+    # pallas boundary as storage, which forces the rounding.
+    vals = jnp.concatenate([pts.astype(jnp.float32),
+                            feats.astype(jnp.float32)], axis=-1)
+    runs = _split_runs(cv, sp)
+    blocks = []
+    if ns:
+        vsp = jnp.concatenate(
+            [vals[..., c : c + 1] for c in sp], axis=-1)  # (B, N, S)
+        hi = vsp.astype(jnp.bfloat16)
+        r1 = vsp - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        blocks += [hi, mid, lo]
+    ex_runs = [(a, b) for is_sp, a, b in runs if not is_sp]
+    if ex_runs:
+        blocks.append(jnp.concatenate(
+            [vals[..., a:b] for a, b in ex_runs], axis=-1
+        ).astype(jnp.bfloat16))  # exact bf16 values
+    valsb = jnp.concatenate(blocks, axis=-1)  # (B, N, 3S+E)
+    rb = valsb.shape[-1]
     s_tile = min(s, 256)
     # Mosaic legality for the (1, rboxes, 7) box block: the second-to-last
     # dim must be 8-divisible or equal the overall M. Padding M up to a
@@ -165,12 +184,12 @@ def roipool3d_fused(
 
     grid = (bsz * gsteps,)
     pooled = pl.pallas_call(
-        partial(_kernel, s, float(max_dis), s_tile, rboxes, sp),
+        partial(_kernel, s, float(max_dis), s_tile, rboxes, cv, sp),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, n, 3), lambda i: (i // gsteps, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, cf), lambda i: (i // gsteps, 0, 0),
+            pl.BlockSpec((1, n, rb), lambda i: (i // gsteps, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rboxes, 7),
                          lambda i: (i // gsteps, i % gsteps, 0),
@@ -183,7 +202,7 @@ def roipool3d_fused(
             vmem_limit_bytes=32 * 1024 * 1024
         ),
         interpret=interpret,
-    )(pts, feats, boxes_p)
+    )(pts, valsb, boxes_p)
     # empty flags via the cheap XLA mask-count (B*M*N compares): an
     # (rboxes, 1) kernel output block violates Mosaic's sublane tiling rule
     # whenever rboxes < 8 (small-M callers / the bench canary)

@@ -141,6 +141,17 @@ def _kernel(s, r2, mt, nlayers, *refs):
     out[...] = jnp.concatenate(pooled, axis=0)[None].astype(out.dtype)
 
 
+def _m_tile_env():
+    """Center-tile size override (DISPRCNN_SA_MT). The default runs ONE
+    mt=128 tile per grid step at the RCNN SA0 geometry — the (n, s*mt)
+    one-hot build then has no other tile's selection dot to overlap with
+    inside the step. Splitting into 2-4 tiles exposes independent
+    build->dot chains the Mosaic scheduler can interleave. 0 = keep the
+    per-kernel default."""
+    v = int(os.environ.get("DISPRCNN_SA_MT", "0"))
+    return v if v > 0 else None
+
+
 def _rows() -> int:
     """Batch R batch-rows (ROIs) per grid step — same math, R x fewer grid
     steps, amortizing the per-step scalar/DMA overhead (~1600 steps at the
@@ -1080,6 +1091,8 @@ def sa_ball_mlp_max(
     outside the jit, and passed as static args — reading them inside the
     traced body would pin the first-seen config into the trace cache and
     silently ignore later env flips (the A/B tools flip them per config)."""
+    if _m_tile_env() is not None:
+        m_tile = _m_tile_env()
     if _fold_v_transpose() and _xfold():
         raise ValueError(
             "DISPRCNN_SA_VT=fold needs the (N, C0) v layout which "

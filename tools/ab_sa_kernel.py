@@ -24,13 +24,15 @@ sys.path.insert(0, ".")
 CONFIGS = {
     "default": {},
     "legacy_tri": {"DISPRCNN_SA_XFOLD": "0", "DISPRCNN_SA_RANKS": "tri"},
+    # r5a measured (2026-08-20): lanes 22.29/7.16 vs default 21.79/4.79 —
+    # retired (see kernel_smoke note); g16 rejected by Mosaic (bitwidth).
     "lanes": {"DISPRCNN_SA_GATHER": "lanes"},
-    "lanes+g16": {"DISPRCNN_SA_GATHER": "lanes", "DISPRCNN_SA_LG16": "1"},
-    "lanes+bisect": {"DISPRCNN_SA_GATHER": "lanes",
-                     "DISPRCNN_SA_LSEARCH": "bisect"},
-    "lanes+bisect+g16": {"DISPRCNN_SA_GATHER": "lanes",
-                         "DISPRCNN_SA_LSEARCH": "bisect",
-                         "DISPRCNN_SA_LG16": "1"},
+    # r5b: mt-split — the default mt=128 runs ONE center-tile per grid
+    # step, so the (n, s*mt) one-hot build has nothing to overlap with;
+    # 2-4 tiles expose independent build->dot chains to the scheduler
+    "mt64": {"DISPRCNN_SA_MT": "64"},
+    "mt32": {"DISPRCNN_SA_MT": "32"},
+    "mt64+rows2": {"DISPRCNN_SA_MT": "64", "DISPRCNN_SA_ROWS": "2"},
 }
 
 GEOMS = {

@@ -77,6 +77,9 @@ CONFIGS = {
     "lanes+bisect+g16": ("64", "", {"DISPRCNN_SA_GATHER": "lanes",
                                     "DISPRCNN_SA_LSEARCH": "bisect",
                                     "DISPRCNN_SA_LG16": "1"}),
+    # r5b: center-tile split (intra-step build/dot overlap)
+    "mt64": ("64", "", {"DISPRCNN_SA_MT": "64"}),
+    "mt32": ("64", "", {"DISPRCNN_SA_MT": "32"}),
 }
 
 

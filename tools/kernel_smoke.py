@@ -267,17 +267,16 @@ def main(argv=None):
                       tol=1e-9)
                 _os.environ.pop("DISPRCNN_SA_XFOLD", None)
                 _os.environ.pop("DISPRCNN_SA_RANKS", None)
-                # r5 lanes kernel: feature selection via <=128-lane-table
-                # chunked tpu.dynamic_gather (the r4-rejected forms were
-                # SUBLANE gathers; the lane-axis vreg limit is 128)
-                _os.environ["DISPRCNN_SA_GATHER"] = "lanes"
-                got_l = sa_ball_mlp_max(*sa_args)
-                check("sa variants(lanes gather)", got_l, want, tol=1e-9)
-                _os.environ["DISPRCNN_SA_ROWS"] = "4"
-                got_lr = sa_ball_mlp_max(*sa_args)
-                check("sa variants(lanes+rows4)", got_lr, want, tol=1e-9)
-                _os.environ.pop("DISPRCNN_SA_GATHER", None)
-                _os.environ.pop("DISPRCNN_SA_ROWS", None)
+                # r5 lanes kernel RETIRED from the on-chip matrix
+                # (2026-08-20 r5a queue): lane-axis dynamic_gather IS
+                # supported (<=128-lane tables, probe_lanes_gather all
+                # green) but the chunked-gather SA formulation measured
+                # 22.29 ms vs the one-hot dot's 21.79 at the SA0 reference
+                # geometry AND carried 1.95e-02 of on-chip parity error
+                # (Mosaic excess-precision elision of in-kernel bf16
+                # round-trips, same mechanism as the roipool split bug).
+                # No win even if fixed -> negative result; code stays
+                # env-gated with interpret-mode parity tests.
             finally:
                 for k, v_ in saved.items():
                     if v_ is None:

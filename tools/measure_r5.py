@@ -35,13 +35,10 @@ STEPS = [
     ("smoke_sa", "tools/kernel_smoke.py",
      ["--skip", "conv3d,s2,deconv,cl1,cv,wconv,fp,softargmin,topk"],
      {}),
-    ("ab_sa_kernel", "tools/ab_sa_kernel.py", [], {}),
-    ("ab_s3_head", "tools/ab_stage3.py",
-     ["--configs", "default(c0=64),lanes,lanes+g16,lanes+bisect,"
-      "lanes+bisect+g16", "--post-nms", "16"], {}),
-    ("ab_s3_ref", "tools/ab_stage3.py",
-     ["--configs", "default(c0=64),lanes,lanes+g16,lanes+bisect,"
-      "lanes+bisect+g16", "--post-nms", "100"], {}),
+    ("ab_sa_kernel", "tools/ab_sa_kernel.py",
+     ["--configs", "default,mt64,mt32,mt64+rows2"], {}),
+    ("ab_s3_ref_mt", "tools/ab_stage3.py",
+     ["--configs", "default(c0=64),mt64,mt32", "--post-nms", "100"], {}),
     # --- r5b: batching + profiles (run with --only after r5a's verdict) ---
     ("bench16", "bench.py", ["--pairs", "16", "--train", ""], {}),
     ("bench8", "bench.py", ["--pairs", "8", "--train", ""], {}),
