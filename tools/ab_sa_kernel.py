@@ -33,6 +33,14 @@ CONFIGS = {
     "mt64": {"DISPRCNN_SA_MT": "64"},
     "mt32": {"DISPRCNN_SA_MT": "32"},
     "mt64+rows2": {"DISPRCNN_SA_MT": "64", "DISPRCNN_SA_ROWS": "2"},
+    # r5b follow-up: the cumsum scan's sublane-concat fails Mosaic layout
+    # rules at mt<128 ("offset mismatch on non-concat dimension") — pair
+    # mt-split with tri-matmul ranks instead; rows2 alone won SA1 -9%
+    "mt64tri": {"DISPRCNN_SA_MT": "64", "DISPRCNN_SA_RANKS": "tri"},
+    "mt32tri": {"DISPRCNN_SA_MT": "32", "DISPRCNN_SA_RANKS": "tri"},
+    "rows2": {"DISPRCNN_SA_ROWS": "2"},
+    "rows2+mt64tri": {"DISPRCNN_SA_ROWS": "2", "DISPRCNN_SA_MT": "64",
+                      "DISPRCNN_SA_RANKS": "tri"},
 }
 
 GEOMS = {
