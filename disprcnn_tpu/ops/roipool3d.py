@@ -76,7 +76,8 @@ def _gather_onehot_hilo(pts: jnp.ndarray, feats: jnp.ndarray, idx: jnp.ndarray) 
     return g[..., :c].astype(full.dtype) + g[..., c:].astype(full.dtype)
 
 
-@partial(jax.jit, static_argnames=("sampled_pts_num",))
+@partial(jax.jit, static_argnames=("sampled_pts_num",
+                                   "f32_feat_channels"))
 def roipool3d(
     pts: jnp.ndarray,  # (B, N, 3)
     feats: jnp.ndarray,  # (B, N, C)
