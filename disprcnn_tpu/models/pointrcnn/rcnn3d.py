@@ -110,8 +110,14 @@ def pool_rcnn_inputs(
     feats = jnp.concatenate([seg_mask[..., None], depth[..., None], rpn_feats], axis=-1)
     grown = rois.at[..., 3:6].add(pool_extra_width * 2).at[..., 1].add(pool_extra_width)
     # seg (0/1) is bf16-exact; rpn features are exact when stored bf16;
-    # depth is a fresh f32 norm -> always 3-split in the fused gather
-    f32ch = ((1,) if rpn_feats.dtype == jnp.bfloat16
+    # depth is a fresh f32 norm -> always 3-split in the fused gather.
+    # DISPRCNN_ROIPOOL_F32DOT=1: A/B fallback to the pre-r5 f32 gather
+    # dot (env read HERE at model trace time so per-config retraces see
+    # it; the fused op's jit key carries it as the static value)
+    import os as _os
+
+    f32ch = ("f32dot" if _os.environ.get("DISPRCNN_ROIPOOL_F32DOT") == "1"
+             else (1,) if rpn_feats.dtype == jnp.bfloat16
              else (1,) + tuple(range(2, feats.shape[-1])))
     pooled, empty = roipool3d(xyz, feats, grown, sampled_pts_num=num_points,
                               f32_feat_channels=f32ch)
@@ -352,7 +358,10 @@ def prepare_rcnn_train_inputs(
         [seg_mask[..., None], depth[..., None], rpn_feats], axis=-1
     )
     grown = s_rois.at[..., 3:6].add(pool_extra_width * 2).at[..., 1].add(pool_extra_width)
-    f32ch = ((1,) if rpn_feats.dtype == jnp.bfloat16
+    import os as _os
+
+    f32ch = ("f32dot" if _os.environ.get("DISPRCNN_ROIPOOL_F32DOT") == "1"
+             else (1,) if rpn_feats.dtype == jnp.bfloat16
              else (1,) + tuple(range(2, feats.shape[-1])))
     pooled, empty = roipool3d(xyz, feats, grown, sampled_pts_num=num_points,
                               f32_feat_channels=f32ch)

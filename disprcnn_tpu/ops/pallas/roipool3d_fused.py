@@ -100,7 +100,9 @@ def _kernel(s, max_dis, s_tile, rboxes, cv, sp, *refs):
             cyc = jnp.where(cyc < 0.0, cyc + cnt, cyc)
             tgt = jnp.where(slots < cnt, slots, cyc)
             onehot = (rank == tgt) * mask  # (st, N), empty box -> all 0
-            g = jnp.dot(onehot.astype(jnp.bfloat16), vb,
+            # valsb f32 (DISPRCNN_ROIPOOL_F32DOT A/B) -> the pre-r5 f32
+            # dot exactly; bf16 valsb -> the 4x-rate split dot
+            g = jnp.dot(onehot.astype(vb.dtype), vb,
                         preferred_element_type=jnp.float32)  # (st, 3S+E)
             comb = (g[:, :ns] + g[:, ns : 2 * ns]) + g[:, 2 * ns : 3 * ns]
             parts = []
@@ -143,9 +145,16 @@ def roipool3d_fused(
     m = boxes3d.shape[1]
     s = sampled_pts_num
     cf = feats.shape[-1]
-    if f32_channels is None:
-        f32_channels = tuple(range(cf))
-    sp = tuple(range(3)) + tuple(sorted(3 + c for c in f32_channels))
+    if f32_channels == "f32dot":
+        # A/B fallback: the pre-r5 f32 gather dot (no split, quarter MXU
+        # rate). Selected via DISPRCNN_ROIPOOL_F32DOT at the MODEL call
+        # site (rcnn3d) — encoding it in this STATIC arg keeps the inner
+        # jit cache honest when an A/B harness flips the env per config.
+        sp = ()
+    else:
+        if f32_channels is None:
+            f32_channels = tuple(range(cf))
+        sp = tuple(range(3)) + tuple(sorted(3 + c for c in f32_channels))
     cv = 3 + cf
     ns = len(sp)
     # hi/mid/lo split built HERE in XLA (in-kernel it measured 3.9e-3 of
@@ -165,10 +174,11 @@ def roipool3d_fused(
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
         blocks += [hi, mid, lo]
     ex_runs = [(a, b) for is_sp, a, b in runs if not is_sp]
+    ex_dt = jnp.float32 if not sp else jnp.bfloat16  # f32 only in the A/B
     if ex_runs:
         blocks.append(jnp.concatenate(
             [vals[..., a:b] for a, b in ex_runs], axis=-1
-        ).astype(jnp.bfloat16))  # exact bf16 values
+        ).astype(ex_dt))  # exact bf16 values (f32 in the F32DOT A/B)
     valsb = jnp.concatenate(blocks, axis=-1)  # (B, N, 3S+E)
     rb = valsb.shape[-1]
     s_tile = min(s, 256)
