@@ -104,7 +104,10 @@ def _kernel(s, max_dis, s_tile, rboxes, cv, sp, *refs):
             # dot exactly; bf16 valsb -> the 4x-rate split dot
             g = jnp.dot(onehot.astype(vb.dtype), vb,
                         preferred_element_type=jnp.float32)  # (st, 3S+E)
-            comb = (g[:, :ns] + g[:, ns : 2 * ns]) + g[:, 2 * ns : 3 * ns]
+            # ns == 0 (the f32dot A/B): zero-width slices are illegal in
+            # Mosaic vector types — no split columns to combine
+            comb = (None if ns == 0 else
+                    (g[:, :ns] + g[:, ns : 2 * ns]) + g[:, 2 * ns : 3 * ns])
             parts = []
             isp = iex = 0
             for is_sp, a, b in runs:

@@ -43,6 +43,7 @@ CONFIGS = {
                                "DISPRCNN_SA_RANKS": "cumsum",
                                "DISPRCNN_SA_VT": "fold"}),
     # r4e: R ROIs per grid step (pure grid reshape, bit-identical)
+    "rows2": ("64", "", {"DISPRCNN_SA_ROWS": "2"}),
     "rows4": ("64", "", {"DISPRCNN_SA_ROWS": "4"}),
     "rows8": ("64", "", {"DISPRCNN_SA_ROWS": "8"}),
     "rows4+fold": ("64", "", {"DISPRCNN_SA_ROWS": "4",
