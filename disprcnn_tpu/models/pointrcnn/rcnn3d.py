@@ -116,9 +116,15 @@ def pool_rcnn_inputs(
     # it; the fused op's jit key carries it as the static value)
     import os as _os
 
-    f32ch = ("f32dot" if _os.environ.get("DISPRCNN_ROIPOOL_F32DOT") == "1"
-             else (1,) if rpn_feats.dtype == jnp.bfloat16
-             else (1,) + tuple(range(2, feats.shape[-1])))
+    # DEFAULT = f32dot since the r5f on-chip A/B (2026-08-20): the bf16
+    # split dot LOST 7.94 vs 6.39 ms at the reference geometry — the
+    # gather dot was never the segment's bound; the split build +
+    # post-dot recombine cost more than the 4x MXU rate saved.
+    # DISPRCNN_ROIPOOL_BF16=1 re-enables the split for re-runs.
+    f32ch = (((1,) if rpn_feats.dtype == jnp.bfloat16
+              else (1,) + tuple(range(2, feats.shape[-1])))
+             if _os.environ.get("DISPRCNN_ROIPOOL_BF16") == "1"
+             else "f32dot")
     pooled, empty = roipool3d(xyz, feats, grown, sampled_pts_num=num_points,
                               f32_feat_channels=f32ch)
     # canonical transform about the UN-enlarged roi
@@ -360,9 +366,15 @@ def prepare_rcnn_train_inputs(
     grown = s_rois.at[..., 3:6].add(pool_extra_width * 2).at[..., 1].add(pool_extra_width)
     import os as _os
 
-    f32ch = ("f32dot" if _os.environ.get("DISPRCNN_ROIPOOL_F32DOT") == "1"
-             else (1,) if rpn_feats.dtype == jnp.bfloat16
-             else (1,) + tuple(range(2, feats.shape[-1])))
+    # DEFAULT = f32dot since the r5f on-chip A/B (2026-08-20): the bf16
+    # split dot LOST 7.94 vs 6.39 ms at the reference geometry — the
+    # gather dot was never the segment's bound; the split build +
+    # post-dot recombine cost more than the 4x MXU rate saved.
+    # DISPRCNN_ROIPOOL_BF16=1 re-enables the split for re-runs.
+    f32ch = (((1,) if rpn_feats.dtype == jnp.bfloat16
+              else (1,) + tuple(range(2, feats.shape[-1])))
+             if _os.environ.get("DISPRCNN_ROIPOOL_BF16") == "1"
+             else "f32dot")
     pooled, empty = roipool3d(xyz, feats, grown, sampled_pts_num=num_points,
                               f32_feat_channels=f32ch)
     p_xyz = pooled[..., 0:3]

@@ -154,10 +154,13 @@ def _m_tile_env():
 
 def _rows() -> int:
     """Batch R batch-rows (ROIs) per grid step — same math, R x fewer grid
-    steps, amortizing the per-step scalar/DMA overhead (~1600 steps at the
-    RCNN SA0 reference geometry). Default 1 until the on-chip A/B flips
-    it."""
-    return max(1, int(os.environ.get("DISPRCNN_SA_ROWS", "1")))
+    steps. 0 = auto (default): 2 rows on big-batch kernels (b >= 256,
+    i.e. the RCNN per-proposal stage), 1 elsewhere — the r5f on-chip A/B
+    (2026-08-20): rows2 won the RCNN standalone at the reference budget
+    (34.32 -> 33.99 ms; kernel-level SA0 21.75 -> 21.44, SA1 4.82 ->
+    4.55) but REGRESSED rpn3d (4.26 -> 5.30, b=16 there), and r4e showed
+    rows4 loses everywhere (VMEM pressure)."""
+    return int(os.environ.get("DISPRCNN_SA_ROWS", "0"))
 
 
 def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, rows, interpret,
@@ -1119,6 +1122,8 @@ def _sa_ball_mlp_max_jit(
     gather: str = "", xfold: bool = False, g16: bool = False,
     lsearch: str = "sum",
 ) -> jnp.ndarray:
+    if rows == 0:  # auto (see _rows): 2 on the big-batch RCNN stage
+        rows = 2 if xyz.shape[0] >= 256 else 1
     if gather == "lanes":
         return _sa_ball_mlp_max_l(
             xyz, centers, v, w0x, mul0, add0, tuple(weights),
