@@ -401,10 +401,15 @@ def _bench_train_stages(stages: str = "2d,psm,pc"):
     )
 
     # Per-stage batch sizes (judge r4 weak #6: 16-ROI smoke batches are
-    # not evidence the recipe saturates a chip). Defaults are updated from
-    # the local `tools/bench_train --sweep` table; override with e.g.
-    # DISPRCNN_BENCH_TRAIN_BS="2d=4,psm=2,pc=1".
-    bs_by_stage = {"2d": 4, "psm": 1, "pc": 1}
+    # not evidence the recipe saturates a chip). r5 on-chip sweep
+    # (tools/bench_train --sweep, .cache/r5/r5g.log 2026-08-20): per-image
+    # throughput DECREASES with batch at every stage — the per-step
+    # geometry (16 ROIs / 16 crops / full image) already fills the chip:
+    #   psm imgs/s at bs 1/2/4 = 31.11 / 28.10 / 27.08
+    #   pc            1/2/4 = 22.89 / 21.76 / 21.22
+    #   2d            2/4/8 = 22.22 / 20.75 / 20.03
+    # Override with e.g. DISPRCNN_BENCH_TRAIN_BS="2d=4,psm=2,pc=1".
+    bs_by_stage = {"2d": 2, "psm": 1, "pc": 1}
     for part in os.environ.get("DISPRCNN_BENCH_TRAIN_BS", "").split(","):
         if "=" in part:
             k, v = part.split("=", 1)
