@@ -141,6 +141,16 @@ def _kernel(s, r2, mt, nlayers, *refs):
     out[...] = jnp.concatenate(pooled, axis=0)[None].astype(out.dtype)
 
 
+def _vsep() -> bool:
+    """xfold with SEPARATE vT/xyz3T kernel inputs concatenated in VMEM per
+    grid step instead of one XLA-side (B, C0+9, N) concat — the concat is
+    a full HBM round-trip of the 210 MB vT at the RCNN SA0 reference
+    geometry (profile_rcnn_trace r5i: biggest glue fusion 1.78 ms).
+    Bit-identical: the kernel sees the same (C0+9, N) operand either way.
+    Default off until the on-chip A/B flips it."""
+    return os.environ.get("DISPRCNN_SA_VSEP", "0") == "1"
+
+
 def _m_tile_env():
     """Center-tile size override (DISPRCNN_SA_MT). The default runs ONE
     mt=128 tile per grid step at the RCNN SA0 geometry — the (n, s*mt)
@@ -164,7 +174,7 @@ def _rows() -> int:
 
 
 def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, rows, interpret,
-              xfold, *refs):
+              xfold, vsep, *refs):
     """Transposed reformulation of _kernel — bit-identical outputs, ~3x less
     MXU-equivalent work at the RCNN SA0 geometry (B256 N512 M128 S64 C128):
 
@@ -182,7 +192,12 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, rows, interpret,
       clamped to s<=256 are bf16-exact) and the max-over-S is a log tree
       of lane-aligned slices. Inputs arrive pre-transposed from XLA.
     """
-    if xfold:  # xyz3T rows ride inside vT: (rows, C0+9, N)
+    if xfold and vsep:
+        # separate inputs, concatenated in VMEM per row (see _vsep)
+        xyz, ctrT, vT, xyz3T, w0xT, mul0, add0 = refs[:7]
+        wb = refs[7 : 7 + 2 * nlayers]
+        out = refs[7 + 2 * nlayers]
+    elif xfold:  # xyz3T rows ride inside vT: (rows, C0+9, N)
         xyz, ctrT, vT, w0xT, mul0, add0 = refs[:6]
         xyz3T = None
         wb = refs[6 : 6 + 2 * nlayers]
@@ -205,7 +220,7 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, rows, interpret,
             a, b, dims, preferred_element_type=jnp.float32)
     n = xyz.shape[1]
     m = ctrT.shape[2]
-    c0 = vT.shape[1] - (9 if xfold else 0)
+    c0 = vT.shape[1] - (9 if (xfold and not vsep) else 0)
     sf = float(s)
 
     if not use_cumsum:
@@ -224,8 +239,14 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, rows, interpret,
     for rr, t0 in [(r_, t_) for r_ in range(rows)
                    for t_ in range(0, m, mt)]:
         xyzc = xyz[rr].astype(jnp.float32)  # (N, 3) f32 column access
-        vv = vT[rr]  # (C0[+9], N) bf16 — or (N, C0) when folded
-        x3 = None if xfold else xyz3T[rr]  # (9, N) bf16 hi/mid/lo rows
+        if xfold and vsep:
+            # sublane concat at offset c0 (8-aligned) — a few KB of VPU
+            # copies per row instead of the XLA-side HBM concat
+            vv = jnp.concatenate([vT[rr], xyz3T[rr]], axis=0)  # (C0+9, N)
+            x3 = None
+        else:
+            vv = vT[rr]  # (C0[+9], N) bf16 — or (N, C0) when folded
+            x3 = None if xfold else xyz3T[rr]  # (9, N) bf16 hi/mid/lo
         cT = ctrT[rr][:, t0 : t0 + mt].astype(jnp.float32)  # (3, mt)
         d2 = jnp.zeros((n, mt), jnp.float32)
         for k in range(3):
@@ -318,7 +339,7 @@ def _kernel_t(s, r2, mt, nlayers, fold_v, use_cumsum, rows, interpret,
 def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
                        radius, s, m_tile, interpret,
                        ranks_cumsum=False, fold_v=False, rows=1,
-                       xfold=False):
+                       xfold=False, vsep=False):
     b, n, _ = xyz.shape
     m = centers.shape[1]
     c0 = v.shape[-1]
@@ -339,7 +360,12 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
     xyz3T = jnp.concatenate([hi, mid, lo], axis=1)  # (B, 9, N)
 
     assert not (xfold and fold_v), "xfold needs the (C, N) transposed v"
-    if xfold:
+    if xfold and vsep:
+        # separate inputs; the kernel concatenates in VMEM (see _vsep)
+        vT = jnp.swapaxes(v.astype(jnp.bfloat16), 1, 2)
+        v_spec = pl.BlockSpec((rows, c0, n), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    elif xfold:
         # xyz3T rides inside the feature operand: ONE (C0+9, N) selection
         # dot in the kernel instead of a full-row-tile 9-row second dot
         vT = jnp.concatenate(
@@ -364,7 +390,7 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
         v_spec,
     ]
     args = [xyz, jnp.swapaxes(centers, 1, 2), vT]
-    if not xfold:
+    if (not xfold) or vsep:
         in_specs.append(pl.BlockSpec((rows, 9, n), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(xyz3T)
@@ -389,7 +415,7 @@ def _sa_ball_mlp_max_t(xyz, centers, v, w0x, mul0, add0, weights,
 
     outT = pl.pallas_call(
         partial(_kernel_t, s, float(radius) * float(radius), mt, nlayers,
-                fold_v, ranks_cumsum, rows, interpret, xfold),
+                fold_v, ranks_cumsum, rows, interpret, xfold, vsep),
         grid=(b // rows,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, c_last, m), lambda i: (i, 0, 0),
@@ -1107,20 +1133,20 @@ def sa_ball_mlp_max(
         xyz, centers, v, w0x, mul0, add0, tuple(weights), radius, s,
         m_tile, interpret, _use_transposed(), _ranks_cumsum(),
         _fold_v_transpose(), _rows(), _use_gather(), _xfold(),
-        _lanes_gather16(), _lanes_search(),
+        _lanes_gather16(), _lanes_search(), _vsep(),
     )
 
 
 @partial(jax.jit,
          static_argnames=("radius", "s", "m_tile", "interpret",
                           "transposed", "ranks_cumsum", "fold_v", "rows",
-                          "gather", "xfold", "g16", "lsearch"))
+                          "gather", "xfold", "g16", "lsearch", "vsep"))
 def _sa_ball_mlp_max_jit(
     xyz, centers, v, w0x, mul0, add0, weights,
     radius: float, s: int, m_tile, interpret: bool,
     transposed: bool, ranks_cumsum: bool, fold_v: bool, rows: int = 1,
     gather: str = "", xfold: bool = False, g16: bool = False,
-    lsearch: str = "sum",
+    lsearch: str = "sum", vsep: bool = False,
 ) -> jnp.ndarray:
     if rows == 0:  # auto (see _rows): 2 on the big-batch RCNN stage
         rows = 2 if xyz.shape[0] >= 256 else 1
@@ -1147,7 +1173,7 @@ def _sa_ball_mlp_max_jit(
         return _sa_ball_mlp_max_t(
             xyz, centers, v, w0x, mul0, add0, tuple(weights),
             radius, s, m_tile or 128, interpret, ranks_cumsum,
-            fold_v and not xfold, rows, xfold,
+            fold_v and not xfold, rows, xfold, vsep,
         )
     b, n, _ = xyz.shape
     m = centers.shape[1]

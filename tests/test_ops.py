@@ -463,6 +463,15 @@ def test_fused_ball_pool_kernel_xfold_cumsum(monkeypatch, rng):
     test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
 
 
+def test_fused_ball_pool_kernel_vsep(monkeypatch, rng):
+    """DISPRCNN_SA_VSEP=1: xfold's (C0+9, N) operand concatenated in VMEM
+    from separate vT/xyz3T inputs instead of one XLA-side HBM concat —
+    the kernel sees the identical operand, outputs bit-identical."""
+    monkeypatch.setenv("DISPRCNN_SA_XFOLD", "1")
+    monkeypatch.setenv("DISPRCNN_SA_VSEP", "1")
+    test_fused_ball_pool_kernel_matches_xla(monkeypatch, rng)
+
+
 def test_fused_ball_pool_kernel_lanes_shared_geometry(monkeypatch, rng):
     """DISPRCNN_SA_GATHER=lanes through the full SharedMLP factored path
     at the shared test's awkward geometry (n=40 needs lane padding,

@@ -39,6 +39,8 @@ CONFIGS = {
     "mt64tri": {"DISPRCNN_SA_MT": "64", "DISPRCNN_SA_RANKS": "tri"},
     "mt32tri": {"DISPRCNN_SA_MT": "32", "DISPRCNN_SA_RANKS": "tri"},
     "rows2": {"DISPRCNN_SA_ROWS": "2"},
+    # r5i trace: the xfold HBM concat is the biggest glue fusion (1.78 ms)
+    "vsep": {"DISPRCNN_SA_VSEP": "1"},
     "rows2+mt64tri": {"DISPRCNN_SA_ROWS": "2", "DISPRCNN_SA_MT": "64",
                       "DISPRCNN_SA_RANKS": "tri"},
 }
