@@ -147,8 +147,9 @@ def _vsep() -> bool:
     a full HBM round-trip of the 210 MB vT at the RCNN SA0 reference
     geometry (profile_rcnn_trace r5i: biggest glue fusion 1.78 ms).
     Bit-identical: the kernel sees the same (C0+9, N) operand either way.
-    Default off until the on-chip A/B flips it."""
-    return os.environ.get("DISPRCNN_SA_VSEP", "0") == "1"
+    Default ON since the r5j on-chip A/B (2026-08-20): SA0 21.44 -> 20.96
+    ms at the reference geometry, SA1 neutral (4.44 -> 4.43)."""
+    return os.environ.get("DISPRCNN_SA_VSEP", "1") == "1"
 
 
 def _m_tile_env():

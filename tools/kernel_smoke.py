@@ -267,6 +267,13 @@ def main(argv=None):
                       tol=1e-9)
                 _os.environ.pop("DISPRCNN_SA_XFOLD", None)
                 _os.environ.pop("DISPRCNN_SA_RANKS", None)
+                # r5 vsep (shipped default): VMEM-concatenated xfold
+                # operand vs the XLA-side HBM concat — bit-identical
+                _os.environ["DISPRCNN_SA_VSEP"] = "0"
+                got_v = sa_ball_mlp_max(*sa_args)
+                check("sa variants(xla-concat vs vsep default)", got_v,
+                      want, tol=1e-9)
+                _os.environ.pop("DISPRCNN_SA_VSEP", None)
                 # r5 lanes kernel RETIRED from the on-chip matrix
                 # (2026-08-20 r5a queue): lane-axis dynamic_gather IS
                 # supported (<=128-lane tables, probe_lanes_gather all
