@@ -62,7 +62,12 @@ def _kernel(s, max_dis, s_tile, rboxes, cv, sp, *refs):
     vb = valsb[0]  # (N, 3S+E) bf16: [hi | mid | lo | exact-channel runs]
 
     # rboxes boxes per grid step: the per-step work of ONE box (a few
-    # hundred-kFLOP dots) is far below the grid-step overhead
+    # hundred-kFLOP dots) is far below the grid-step overhead.
+    # Phase 1 — ALL boxes' in-box masks, then ONE (rboxes, N) tri dot:
+    # a 1-row dot costs a full 128-row MXU output tile, so the per-box
+    # form paid 8x the tile cost for the same prefix counts (~1 ms of the
+    # reference-budget segment, r5l trace arithmetic).
+    mask_rows = []
     for r in range(rboxes):
         b = box[0, r].astype(jnp.float32)  # (7,)
         cx, by, cz, h, w, l, ry = (b[i] for i in range(7))
@@ -71,15 +76,20 @@ def _kernel(s, max_dis, s_tile, rboxes, cv, sp, *refs):
         cosa, sina = jnp.cos(ry), jnp.sin(ry)
         x_rot = dx * cosa - dz * sina
         z_rot = dx * sina + dz * cosa
-        mask = (
+        mask_rows.append((
             (jnp.abs(dx) <= max_dis)
             & (jnp.abs(dy) <= h * 0.5)
             & (jnp.abs(dz) <= max_dis)
             & (x_rot >= -l * 0.5) & (x_rot <= l * 0.5)
             & (z_rot >= -w * 0.5) & (z_rot <= w * 0.5)
-        ).astype(jnp.float32)  # (1, N)
+        ).astype(jnp.float32))  # (1, N)
+    masks = (mask_rows[0] if rboxes == 1
+             else jnp.concatenate(mask_rows, axis=0))  # (rboxes, N)
+    incl_all = jnp.dot(masks, tri, preferred_element_type=jnp.float32)
 
-        incl = jnp.dot(mask, tri, preferred_element_type=jnp.float32)
+    for r in range(rboxes):
+        mask = mask_rows[r]
+        incl = incl_all[r : r + 1]
         rank = incl - mask
         cnt = incl[:, n - 1 : n]  # (1, 1); broadcasts against (st, 1) slots
 
