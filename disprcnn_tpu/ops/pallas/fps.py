@@ -19,7 +19,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 8  # minimum batch rows per grid step (one f32 sublane tile)
-MAX_ROWS = 64  # cap: VMEM working set stays ~1 MB at N=768
+MAX_ROWS = 64  # default cap: VMEM working set stays ~1 MB at N=768
+
+
+def _max_rows() -> int:
+    """DISPRCNN_FPS_ROWS: rows per grid step. The npoint loop is the
+    SEQUENTIAL depth — total dependent iterations = (B/rows)*npoint, so
+    more rows per step shortens the latency chain proportionally (the
+    VPU vectorizes the extra sublanes). Read at trace time."""
+    import os
+
+    return int(os.environ.get("DISPRCNN_FPS_ROWS", str(MAX_ROWS)))
 
 
 def _fps_kernel(npoint: int, n: int, rows: int, xyz_ref, out_ref, mind):
@@ -60,7 +70,7 @@ def furthest_point_sample_pallas(
     # rows per grid step: the npoint-long loop is sequential, so fewer grid
     # steps = proportionally less loop/step overhead. Widen the sublane tile
     # up to MAX_ROWS (the VPU vectorizes over all of them for free).
-    rows = min(MAX_ROWS, max(ROWS, -(-b // ROWS) * ROWS))
+    rows = min(_max_rows(), max(ROWS, -(-b // ROWS) * ROWS))
     pad = (-b) % rows
     xt = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32)  # (B, 3, N)
     if pad:
