@@ -196,13 +196,15 @@ class PointRCNN(nn.Module):
 def _roi_blocks(r: int, k: int) -> int:
     """Number of proposal blocks for the eval pool+RCNN scan: the smallest
     divisor nb of k keeping r*(k/nb) ROIs live at once under
-    DISPRCNN_RCNN_ROI_BLOCK (default 4096 — ~560 MB of (512, 133)-point
-    activations, leaving the SA mega-kernel a >=2.5k-step grid at the
-    reference eval budget). Read at trace time like the other perf knobs;
-    1 (no scan) whenever the whole proposal axis already fits."""
+    DISPRCNN_RCNN_ROI_BLOCK (default 8192 — ~1.1 GB of (512, 133)-point
+    activations; the r5o on-chip sweep at the reference budget measured
+    2048/4096/8192/no-scan = 11.18/11.38/11.49/11.49 pairs/s, so the
+    largest block that still bounds pairs=16 is the default). Read at
+    trace time like the other perf knobs; 1 (no scan) whenever the whole
+    proposal axis already fits."""
     import os
 
-    cap = int(os.environ.get("DISPRCNN_RCNN_ROI_BLOCK", "4096"))
+    cap = int(os.environ.get("DISPRCNN_RCNN_ROI_BLOCK", "8192"))
     if r * k <= cap or k <= 1:
         return 1
     for nb in range(2, k + 1):
