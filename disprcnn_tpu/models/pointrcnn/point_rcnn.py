@@ -196,15 +196,17 @@ class PointRCNN(nn.Module):
 def _roi_blocks(r: int, k: int) -> int:
     """Number of proposal blocks for the eval pool+RCNN scan: the smallest
     divisor nb of k keeping r*(k/nb) ROIs live at once under
-    DISPRCNN_RCNN_ROI_BLOCK (default 8192 — ~1.1 GB of (512, 133)-point
-    activations; the r5o on-chip sweep at the reference budget measured
-    2048/4096/8192/no-scan = 11.18/11.38/11.49/11.49 pairs/s, so the
-    largest block that still bounds pairs=16 is the default). Read at
-    trace time like the other perf knobs; 1 (no scan) whenever the whole
-    proposal axis already fits."""
+    DISPRCNN_RCNN_ROI_BLOCK (default 6400: the r5o on-chip sweep at the
+    reference budget measured caps 2048/4096/8192/no-scan =
+    11.18/11.38/11.49/11.49 pairs/s — bigger blocks win — and at pairs=8
+    caps 6400 and 8192 produce the SAME 6400-ROI blocks; 8000-ROI blocks
+    OOM'd the pairs=10 probe [r5p], so 6400 is the largest cap that also
+    keeps other pair counts feasible). Read at trace time like the other
+    perf knobs; 1 (no scan) whenever the whole proposal axis already
+    fits."""
     import os
 
-    cap = int(os.environ.get("DISPRCNN_RCNN_ROI_BLOCK", "8192"))
+    cap = int(os.environ.get("DISPRCNN_RCNN_ROI_BLOCK", "6400"))
     if r * k <= cap or k <= 1:
         return 1
     for nb in range(2, k + 1):
