@@ -29,6 +29,15 @@ from . import box_coder
 from .matcher import balanced_sample, match
 
 
+def _use_atlas() -> bool:
+    """DISPRCNN_SRPN_ATLAS=1: run the SRPN head's convs over one packed
+    level atlas (see SRPNHead.__call__). Bit-identical; default off until
+    the on-chip A/B flips it. Read at trace time."""
+    import os
+
+    return os.environ.get("DISPRCNN_SRPN_ATLAS", "0") == "1"
+
+
 class SRPNHead(nn.Module):
     """Shared-conv stereo RPN head (reference srpn.py:14-51).
 
@@ -92,6 +101,41 @@ class SRPNHead(nn.Module):
             return raw.reshape(b, h, w, a, 2)
 
         outs = []
+        if both_feats is not None and len(both_feats) > 1 and _use_atlas():
+            # LEVEL ATLAS: pack all FPN levels into one (2B, Htot, Wmax, C)
+            # canvas with 2 zero rows between levels and zero-padded
+            # columns, so the shared 3x3 conv + both 1x1 heads run as ONE
+            # call each instead of 3 per level (15 -> 3; the small levels'
+            # convs are lane/tile-starved standalone). Exact same TERMS:
+            # a 3x3 window never reaches past a 2-row gap, and every
+            # gap/pad contribution is an exact zero product — identical
+            # to each level's own SAME zero padding (the conv's internal
+            # accumulation order may differ with the shape: ULP-level).
+            hws = [(f.shape[1], f.shape[2]) for f in both_feats]
+            wmax = max(w_ for _, w_ in hws)
+            nl = len(both_feats)
+            parts = []
+            for i, f in enumerate(both_feats):
+                h_l, w_l = hws[i]
+                parts.append(jnp.pad(
+                    f, ((0, 0), (0, 2 if i < nl - 1 else 0),
+                        (0, wmax - w_l), (0, 0))))
+            atlas = jnp.concatenate(parts, axis=1)
+            b2 = atlas.shape[0]
+            t2 = nn.relu(conv(atlas))
+            t = jnp.concatenate([t2[: b2 // 2], t2[b2 // 2 :]], axis=-1)
+            cls_a = cls(t)
+            box_a = box(t)
+            off = 0
+            for h_l, w_l in hws:
+                cl_ = cls_a[:, off : off + h_l, :w_l]
+                bx = box_a[:, off : off + h_l, :w_l]
+                b = cl_.shape[0]
+                logits = read_cls(cl_)
+                deltas = bx.reshape(b, h_l, w_l, self.num_anchors, 6)
+                outs.append((logits, deltas))
+                off += h_l + 2
+            return outs
         if both_feats is not None:
             for f2 in both_feats:
                 b2 = f2.shape[0]

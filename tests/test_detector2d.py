@@ -179,3 +179,33 @@ def test_box_postprocess_batched_matches_per_image(rng):
     np.testing.assert_array_equal(
         np.asarray(got.fields["labels"]) * m[..., 0].astype(np.int32),
         np.asarray(want.fields["labels"]) * m[..., 0].astype(np.int32))
+
+
+def test_srpn_head_atlas_matches_per_level(monkeypatch):
+    """DISPRCNN_SRPN_ATLAS packs all FPN levels into one zero-gapped
+    canvas for the head's convs — a 3x3 window never crosses the 2-row
+    gap and gap/pad contributions are exact zero products, so the SAME
+    terms are summed; only the conv's internal accumulation order may
+    differ with the shape (observed ULP-level deltas on XLA:CPU)."""
+    import jax
+    import numpy as np
+
+    from disprcnn_tpu.models.rpn.stereo_rpn import SRPNHead
+
+    rng = np.random.default_rng(0)
+    head = SRPNHead(in_channels=32, num_anchors=3, dtype=jnp.float32)
+    # uneven level shapes incl. a tiny one (pad + gap edge cases)
+    shapes = [(12, 40), (6, 20), (3, 10)]
+    both = [jnp.asarray(rng.normal(size=(4, h, w, 32)).astype(np.float32))
+            for h, w in shapes]
+    v = head.init(jax.random.PRNGKey(0), None, None, both_feats=both)
+    monkeypatch.delenv("DISPRCNN_SRPN_ATLAS", raising=False)
+    want = head.apply(v, None, None, both_feats=both)
+    monkeypatch.setenv("DISPRCNN_SRPN_ATLAS", "1")
+    got = head.apply(v, None, None, both_feats=both)
+    assert len(got) == len(want)
+    for (gl, gd), (wl, wd) in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(wl),
+                                   rtol=2e-6, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(wd),
+                                   rtol=2e-6, atol=2e-6)
